@@ -1,0 +1,415 @@
+"""Belief-propagation LDPC decoding, TPU-native.
+
+Replaces the reference decode stack (``bp/bp.py``, ``bp/bp_vc.py``,
+``bp/bp_cv.py``, ``ofdm/ofdm_functions.py:131-163``) — dense E×E mask
+matmuls, an O(B·E³) hand-written backward, and a per-batch Python loop —
+with a pure-JAX edge-slot formulation:
+
+* messages live in padded ``(n_checks, dc, batch)`` / ``(n_vars, dv,
+  batch)`` layouts (see :class:`~ldpc_sims_tpu.codes.tanner.TannerGraph`);
+  batch is the minor (lane) axis so the two per-iteration graph gathers are
+  contiguous row moves;
+* iteration loop is ``lax.fori_loop`` (or ``lax.while_loop`` with batched
+  syndrome early exit); the whole decode jits into one XLA program and
+  vmaps/shards trivially over the batch axis;
+* gradients come from JAX autodiff through the pure functional update —
+  no custom VJP needed (the reference needed two hand-written
+  ``autograd.Function`` backwards for this);
+* optional per-iteration trainable weights turn the same code path into a
+  neural-BP decoder (the reference's trainable-VC construction,
+  ``bp/bp_vc.py:101-107``, in Nachmani-style per-edge form).
+
+Three check-node methods:
+
+``min-sum``          two-minima rule with optional normalization ``alpha``
+                     and offset ``beta`` — the throughput kernel.
+``sum-product``      numerically stable log-domain sum-product
+                     (sign × log-tanh magnitudes).
+``sum-product-ref``  arithmetic replica of the reference decoder: tanh of
+                     half-messages, exclusive products, product clamp at
+                     ±(1−1e−7) (``bp/bp_cv.py:44-50``), per-iteration
+                     message clamp (``bp/bp.py:47``). Used for BER-parity
+                     regression against the reference curves.
+
+LLR sign convention: the public API takes channel LLRs as
+``log(Pr(bit=1)/Pr(bit=0))`` — the reference's convention
+(``ofdm/ofdm_functions.py:70-74``); internally messages use the standard
+``log(Pr0/Pr1)`` (the reference does the same negation at ``bp/bp.py:47``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldpc_sims_tpu.codes.tanner import TannerGraph
+
+__all__ = [
+    "bp_decode",
+    "decode_to_bits",
+    "syndrome",
+    "init_neural_bp_weights",
+]
+
+_BIG = 1e30  # inert magnitude for padding slots
+_REF_PROD_EPS = 1e-7  # product clamp of the reference CV (bp/bp_cv.py:44)
+
+
+def _take0(flat: jnp.ndarray, idx: np.ndarray, fill: float) -> jnp.ndarray:
+    """Row gather along axis 0 with out-of-range → fill."""
+    return jnp.take(flat, idx, axis=0, mode="fill", fill_value=fill)
+
+
+def _exclusive_prod(t: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exclusive product along a small axis via prefix×suffix cumprods.
+
+    Matches the masked-product semantics of the reference CV layer
+    (``bp/bp_cv.py:29-42``) without ever dividing (stable at zeros).
+    """
+    ones = jnp.ones_like(jax.lax.slice_in_dim(t, 0, 1, axis=axis))
+    left = jnp.cumprod(t, axis=axis)
+    left = jnp.concatenate(
+        [ones, jax.lax.slice_in_dim(left, 0, t.shape[axis] - 1, axis=axis)],
+        axis=axis,
+    )
+    rev = jnp.flip(t, axis=axis)
+    right = jnp.flip(jnp.cumprod(rev, axis=axis), axis=axis)
+    right = jnp.concatenate(
+        [jax.lax.slice_in_dim(right, 1, t.shape[axis], axis=axis), ones],
+        axis=axis,
+    )
+    return left * right
+
+
+def _exclusive_sum(t: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exclusive sum along a small axis (prefix+suffix, no cancellation)."""
+    zeros = jnp.zeros_like(jax.lax.slice_in_dim(t, 0, 1, axis=axis))
+    left = jnp.cumsum(t, axis=axis)
+    left = jnp.concatenate(
+        [zeros, jax.lax.slice_in_dim(left, 0, t.shape[axis] - 1, axis=axis)],
+        axis=axis,
+    )
+    rev = jnp.flip(t, axis=axis)
+    right = jnp.flip(jnp.cumsum(rev, axis=axis), axis=axis)
+    right = jnp.concatenate(
+        [jax.lax.slice_in_dim(right, 1, t.shape[axis], axis=axis), zeros],
+        axis=axis,
+    )
+    return left + right
+
+
+def _signs(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(x < 0, -1.0, 1.0).astype(x.dtype)
+
+
+def _check_update_minsum(
+    v2c: jnp.ndarray, alpha: float, beta: float
+) -> jnp.ndarray:
+    """Two-minima min-sum check update over the dc axis (axis 1).
+
+    Padding slots arrive as +_BIG (sign +1, magnitude never the minimum).
+    """
+    a = jnp.abs(v2c)
+    sgn = _signs(v2c)
+    min1 = jnp.min(a, axis=1, keepdims=True)
+    idx = jnp.argmin(a, axis=1)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, v2c.shape, 1) == idx[:, None, :]
+    )
+    min2 = jnp.min(jnp.where(onehot, _BIG, a), axis=1, keepdims=True)
+    exmin = jnp.where(onehot, min2, min1)
+    exsign = jnp.prod(sgn, axis=1, keepdims=True) * sgn
+    mag = jnp.maximum(exmin - beta, 0.0) if beta else exmin
+    out = exsign * mag
+    return out * alpha if alpha != 1.0 else out
+
+
+def _check_update_sumproduct(v2c: jnp.ndarray) -> jnp.ndarray:
+    """Stable log-domain sum-product check update (dc axis = 1).
+
+    magnitude: 2·atanh(exp(Σ' log tanh(|m|/2))) with the exclusive sum done
+    prefix/suffix so a zero-magnitude input poisons only the *other* edges
+    of its check, exactly as in true sum-product.
+    """
+    a = jnp.abs(v2c)
+    sgn = _signs(v2c)
+    # log tanh(a/2) = log1p(-e^{-a}) - log1p(e^{-a}); clamp the singularity
+    e = jnp.exp(-a)
+    lt = jnp.log1p(-jnp.minimum(e, 1.0 - 1e-12)) - jnp.log1p(e)
+    s = _exclusive_sum(lt, axis=1)  # ≤ 0
+    p = jnp.exp(s)
+    p = jnp.minimum(p, 1.0 - 1e-12)
+    mag = jnp.log1p(p) - jnp.log1p(-p)  # = 2 atanh(p)
+    exsign = jnp.prod(sgn, axis=1, keepdims=True) * sgn
+    return exsign * mag
+
+
+def _check_update_ref(v2c: jnp.ndarray, c_mask_b: jnp.ndarray) -> jnp.ndarray:
+    """Reference-arithmetic sum-product check update.
+
+    Replicates ``bp/bp_cv.py:22-50``: tanh is applied to *half* messages
+    upstream (here: tanh(v2c/2)), padding slots contribute the
+    multiplicative identity (the reference's ``inverse_mask``), the product
+    is clamped to ±(1−1e−7), and the output is log((1+p)/(1−p)).
+    """
+    t = jnp.tanh(v2c * 0.5)
+    t = jnp.where(c_mask_b, t, 1.0)
+    p = _exclusive_prod(t, axis=1)
+    p = jnp.clip(p, -(1.0 - _REF_PROD_EPS), 1.0 - _REF_PROD_EPS)
+    return jnp.log((1.0 + p) / (1.0 - p))
+
+
+def _quantize_messages(x: jnp.ndarray, bits: int, clip: float) -> jnp.ndarray:
+    """Uniform symmetric mid-rise message quantizer (decoder-side study).
+
+    2^bits levels over ±clip, same step rule as the reference ADC quantizer
+    (``ofdm/ofdm_functions.py:37-51``) applied to BP messages — the
+    "quantized min-sum decoder" benchmark config.
+    """
+    levels = 2**bits
+    step = 2.0 * clip / (levels - 1)
+    q = jnp.round(x / step) * step
+    return jnp.clip(q, -clip, clip)
+
+
+def init_neural_bp_weights(
+    graph: TannerGraph, iterations: int, dtype=jnp.float32
+) -> dict[str, jnp.ndarray]:
+    """All-ones neural-BP weight pytree (= classic BP).
+
+    Nachmani-style parameterization of the reference's trainable decoder
+    (``bp/bp_vc.py:101-107`` gives every VC layer an E×E masked weight
+    matrix and per-variable LLR weights; here: one weight per (iteration,
+    edge) on the c2v message entering the variable update, stored in
+    variable-space ``(n_vars, dv)`` slots, plus per-(iteration, variable)
+    LLR weights — the same trainable capacity that acts per edge, without
+    the dense matrix).
+    """
+    it = iterations
+    return {
+        "w_msg": jnp.ones((it, graph.n_vars, graph.dv), dtype=dtype),
+        "w_llr": jnp.ones((it, graph.n_vars), dtype=dtype),
+        "w_msg_final": jnp.ones((graph.n_vars, graph.dv), dtype=dtype),
+        "w_llr_final": jnp.ones((graph.n_vars,), dtype=dtype),
+    }
+
+
+def bp_decode(
+    llr: jnp.ndarray,
+    graph: TannerGraph,
+    *,
+    iterations: int = 20,
+    method: str = "min-sum",
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    clamp: float | None = None,
+    early_stop: bool = False,
+    msg_qbits: int | None = None,
+    msg_qclip: float = 20.0,
+    weights: dict[str, Any] | None = None,
+    output: str = "hard",
+    dtype=jnp.float32,
+) -> jnp.ndarray | tuple:
+    """Decode a batch of codewords with iterative BP.
+
+    Args:
+      llr: (batch, n_vars) channel LLRs, convention log(Pr1/Pr0).
+      graph: compiled Tanner graph.
+      iterations: BP iterations (fixed trip count unless early_stop).
+      method: 'min-sum' | 'sum-product' | 'sum-product-ref'.
+      alpha, beta: normalization / offset for min-sum.
+      clamp: per-iteration c2v message clamp (the reference uses 20,
+        ``bp/bp.py:47`` via ``evaluate_snr.py``); None = no clamp.
+      early_stop: stop the whole batch once every codeword satisfies all
+        parity checks (batched syndrome + ``lax.while_loop``).
+      msg_qbits/msg_qclip: optional uniform message quantization applied to
+        c2v messages each iteration (quantized-decoder study).
+      weights: optional neural-BP weight pytree from
+        :func:`init_neural_bp_weights` (differentiable).
+      output: 'hard' → (batch, n) int8 bits; 'soft' → (batch, n) Pr(bit=1)
+        on the reference's sigmoid-of-half-LLR scale (``bp/bp.py:36-51``);
+        'posterior' → (batch, n) posterior log(Pr1/Pr0); 'hard_iters' →
+        (bits, iterations_run).
+    """
+    if method not in ("min-sum", "sum-product", "sum-product-ref"):
+        raise ValueError(f"unknown method {method!r}")
+    g = graph
+    n, m, dc, dv = g.n_vars, g.n_checks, g.dc, g.dv
+    B = llr.shape[0]
+
+    to_var = jnp.asarray(g.to_var_space)
+    to_check = jnp.asarray(g.to_check_space)
+    v_mask_b = jnp.asarray(g.v_mask)[:, :, None]
+    c_mask_b = jnp.asarray(g.c_mask)[:, :, None]
+
+    Lv = (-llr.T).astype(dtype)  # (n, B), internal log(Pr0/Pr1)
+    c2v0 = jnp.zeros((m, dc, B), dtype=dtype)
+
+    ref_mode = method == "sum-product-ref"
+    fill_in = 0.0  # gathering c2v into var space: missing → 0 contribution
+
+    def var_to_check(c2v: jnp.ndarray, w_it=None):
+        """Variable update: returns v2c in check space (m, dc, B).
+
+        ``w_it`` is this iteration's neural-BP weight slice
+        ``(w_msg (n, dv), w_llr (n,))`` or None for classic BP.
+        """
+        vm = _take0(c2v.reshape(m * dc, B), to_var, fill_in).reshape(n, dv, B)
+        if w_it is not None:
+            w_msg, w_llr = w_it
+            vm = vm * w_msg[:, :, None]
+            lv = w_llr[:, None] * Lv
+        else:
+            lv = Lv
+        if ref_mode:
+            # exact exclusive sum, half messages (bp/bp_vc.py:16-32 does
+            # 0.5·(llr + Σ masked); tanh of that half-message feeds the CV)
+            ex = _exclusive_sum(jnp.where(v_mask_b, vm, 0.0), axis=1)
+            v2c_v = lv[:, None, :] + ex
+        else:
+            total = lv + jnp.sum(jnp.where(v_mask_b, vm, 0.0), axis=1)
+            v2c_v = total[:, None, :] - vm
+        fill = _BIG  # pad check slots become inert (+BIG magnitude, sign +)
+        return _take0(
+            v2c_v.reshape(n * dv, B), to_check, fill
+        ).reshape(m, dc, B)
+
+    def check_update(v2c: jnp.ndarray) -> jnp.ndarray:
+        if method == "min-sum":
+            c2v = _check_update_minsum(v2c, alpha, beta)
+        elif method == "sum-product":
+            c2v = _check_update_sumproduct(v2c)
+        else:
+            c2v = _check_update_ref(v2c, c_mask_b)
+        if clamp is not None:
+            c2v = jnp.clip(c2v, -clamp, clamp)
+        if msg_qbits is not None:
+            c2v = _quantize_messages(c2v, msg_qbits, msg_qclip)
+        return c2v
+
+    if weights is not None:
+        weights = jax.tree.map(jnp.asarray, weights)
+
+    def one_iteration(it, c2v):
+        if weights is not None:
+            w_it = (
+                jax.lax.dynamic_index_in_dim(
+                    weights["w_msg"], it, keepdims=False
+                ),
+                jax.lax.dynamic_index_in_dim(
+                    weights["w_llr"], it, keepdims=False
+                ),
+            )
+        else:
+            w_it = None
+        return check_update(var_to_check(c2v, w_it))
+
+    def posterior(c2v: jnp.ndarray) -> jnp.ndarray:
+        """(n, B) internal posterior log(Pr0/Pr1)."""
+        vm = _take0(c2v.reshape(m * dc, B), to_var, 0.0).reshape(n, dv, B)
+        if weights is not None:
+            vm = vm * weights["w_msg_final"][:, :, None]
+            lv = weights["w_llr_final"][:, None] * Lv
+        else:
+            lv = Lv
+        return lv + jnp.sum(jnp.where(v_mask_b, vm, 0.0), axis=1)
+
+    def hard(c2v: jnp.ndarray) -> jnp.ndarray:
+        return (posterior(c2v) < 0).astype(jnp.int8)  # (n, B)
+
+    if early_stop:
+
+        def all_satisfied(c2v):
+            bits = hard(c2v).astype(jnp.int32)  # (n, B)
+            s = syndrome_from_bits_nb(bits, g)
+            return jnp.all(s == 0)
+
+        def cond(state):
+            it, c2v, done = state
+            return jnp.logical_and(it < iterations, jnp.logical_not(done))
+
+        def body(state):
+            it, c2v, _ = state
+            c2v = one_iteration(it, c2v)
+            return it + 1, c2v, all_satisfied(c2v)
+
+        iters_run, c2v, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), c2v0, jnp.bool_(False))
+        )
+    else:
+        if weights is not None:
+            # stream per-iteration weight slices through scan xs (no
+            # traced indexing needed)
+            def scan_body(c2v, w_it):
+                return check_update(var_to_check(c2v, w_it)), None
+
+            c2v, _ = jax.lax.scan(
+                scan_body, c2v0, (weights["w_msg"], weights["w_llr"])
+            )
+        else:
+            c2v = jax.lax.fori_loop(
+                0, iterations, lambda i, x: one_iteration(i, x), c2v0
+            )
+        iters_run = jnp.int32(iterations)
+
+    if output == "posterior":
+        return (-posterior(c2v)).T  # back to log(Pr1/Pr0), (B, n)
+    if output == "soft":
+        # reference output scale: 1 − sigmoid(half posterior) (bp/bp.py:51)
+        return jax.nn.sigmoid(-0.5 * posterior(c2v)).T
+    bits = hard(c2v).T  # (B, n)
+    if output == "hard_iters":
+        return bits, iters_run
+    return bits
+
+
+def syndrome_from_bits_nb(bits_nb: jnp.ndarray, g: TannerGraph) -> jnp.ndarray:
+    """Syndrome from bits in (n, B) layout → (m, B) parity of each check.
+
+    Gather-only (no scatters): replicate each variable's bit across its dv
+    slots, then pull into check space with the static slot map.
+    """
+    B = bits_nb.shape[-1]
+    bits_vslots = jnp.repeat(bits_nb, g.dv, axis=0)  # (n*dv, B) vslot-major
+    cs = jnp.take(
+        bits_vslots, jnp.asarray(g.to_check_space), axis=0,
+        mode="fill", fill_value=0,
+    )
+    return jnp.sum(cs.reshape(g.n_checks, g.dc, B), axis=1) & 1
+
+
+def syndrome(bits: jnp.ndarray, H: np.ndarray) -> jnp.ndarray:
+    """(B, n) hard bits → (B, m) syndrome via int8 matmul (MXU) & 1."""
+    Ht = jnp.asarray(H.T, dtype=jnp.int8)
+    s = jax.lax.dot_general(
+        bits.astype(jnp.int8),
+        Ht,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return s & 1
+
+
+def decode_to_bits(
+    llrs: jnp.ndarray,
+    graph: TannerGraph,
+    bp_iterations: int,
+    clamp_value: float = 20.0,
+    method: str = "sum-product-ref",
+) -> jnp.ndarray:
+    """API mirror of the reference's ``decode_bits``
+    (``ofdm/ofdm_functions.py:131-163``) minus its batch Python loop and
+    per-call model rebuild: one jitted call decodes the whole batch.
+    """
+    return bp_decode(
+        llrs,
+        graph,
+        iterations=bp_iterations,
+        method=method,
+        clamp=clamp_value,
+        output="hard",
+    )

@@ -1,0 +1,96 @@
+"""Unit tests for the code library (SURVEY.md §4: encoder H·Gᵀ=0, edge
+counts, degree histograms, construction invariants)."""
+
+import numpy as np
+import pytest
+
+from ldpc_sims_tpu.codes import (
+    LdpcCode,
+    get_code,
+    make_regular_ldpc,
+    reference_6432,
+)
+from ldpc_sims_tpu.codes import alist, gf2
+from ldpc_sims_tpu.codes.wifi import BASE_MATRICES, expand_qc
+
+
+def test_reference_code_structure():
+    """The (64,32) anchor code: exact structural fingerprint of the
+    reference matrix (``bp/parity.py:7-40``)."""
+    c = reference_6432()
+    assert (c.m, c.n, c.k) == (32, 64, 32)
+    assert c.n_edges == 96
+    assert (c.H.sum(axis=1) == 3).all()  # check degree 3
+    np.testing.assert_array_equal(np.sort(c.H.sum(axis=0)), [1] * 32 + [2] * 32)
+    # parity part is the identity: H = [P | I]
+    np.testing.assert_array_equal(c.H[:, 32:], np.eye(32, dtype=np.uint8))
+
+
+def test_reference_encode_matches_reference_generator(rng):
+    """Encoding equals the reference's generator (``bp/parity.py:44``):
+    G = transpose([I | Pᵀ]) = [I ; P] with P = H[:, 0:32]."""
+    c = reference_6432()
+    P = c.H[:, :32]
+    G_ref = np.concatenate([np.eye(32, dtype=np.uint8), P], axis=0)
+    u = rng.integers(0, 2, (100, 32)).astype(np.uint8)
+    np.testing.assert_array_equal(c.encode_np(u), (u @ G_ref.T) % 2)
+
+
+@pytest.mark.parametrize("name", ["ref6432", "peg128_64", "wifi648", "wifi1944"])
+def test_valid_codewords(name, rng):
+    code = get_code(name)
+    u = rng.integers(0, 2, (8, code.k)).astype(np.uint8)
+    c = code.encode_np(u)
+    assert ((code.H @ c.T) % 2 == 0).all()
+    # systematic: info bits occupy positions 0..k-1
+    np.testing.assert_array_equal(c[:, : code.k], u)
+
+
+def test_wifi_expansion_structure():
+    for (n, rate), (z, base) in BASE_MATRICES.items():
+        H = expand_qc(base, z)
+        assert H.shape == (len(base) * z, n)
+        # each non(-1) entry contributes a weight-z circulant
+        nnz_blocks = sum(1 for row in base for s in row if s >= 0)
+        assert H.sum() == nnz_blocks * z
+        assert gf2.rank(H) == H.shape[0]
+
+
+def test_peg_no_4_cycles():
+    code = make_regular_ldpc(64, 32, 3, seed=0)
+    H = code.H.astype(np.int64)
+    # no two columns share more than one check → H·Hᵀ off-diagonal ≤ 1
+    overlap = H.T @ H
+    np.fill_diagonal(overlap, 0)
+    assert overlap.max() <= 1
+    assert (H.sum(axis=0) == 3).all()
+
+
+def test_gf2_pack_roundtrip(rng):
+    a = rng.integers(0, 2, (17, 203)).astype(np.uint8)
+    np.testing.assert_array_equal(gf2.unpack_rows(gf2.pack_rows(a), 203), a)
+
+
+def test_gf2_generator_nullspace(rng):
+    H = rng.integers(0, 2, (20, 50)).astype(np.uint8)
+    # ensure full rank by adding identity on random columns
+    H[:, 25:45] ^= np.eye(20, dtype=np.uint8)
+    if gf2.rank(H) != 20:
+        pytest.skip("random H rank-deficient for this seed")
+    G, perm = gf2.generator_from_H(H)
+    u = rng.integers(0, 2, (30, 30)).astype(np.uint8)
+    cp = (u @ G.T) % 2
+    c = np.zeros_like(cp)
+    c[:, perm] = cp
+    assert ((H @ c.T) % 2 == 0).all()
+
+
+def test_alist_roundtrip():
+    code = get_code("wifi648")
+    text = alist.dumps_alist(code.H)
+    H2 = alist.loads_alist(text)
+    np.testing.assert_array_equal(code.H, H2)
+
+
+def test_repr_compact():
+    assert "n=64" in repr(reference_6432())
