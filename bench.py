@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark: decoded info bits/s/chip, (1944,972) 802.11n, 20-iter min-sum.
+
+The north-star metric of BASELINE.json (target ≥5e7 bits/s/chip). Prints
+exactly one JSON line:
+
+    {"metric": ..., "value": N, "unit": "bits/s", "vs_baseline": N/5e7}
+
+``vs_baseline`` is the ratio to the 5e7 bits/s/chip target (the reference
+itself measured ≈1.06e4 bits/s on CPU for a far smaller code —
+BASELINE.md §B — so the target, not the reference, is the denominator).
+
+Run on the default environment (one TPU chip). Secondary numbers go to
+stderr. Options: BENCH_BATCH (codewords per step), BENCH_STEPS,
+BENCH_PROFILE=1 (write a jax.profiler trace to /tmp/ldpc_bench_trace).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ldpc_sims_tpu.codes import get_code
+from ldpc_sims_tpu.ops.bp import bp_decode
+from ldpc_sims_tpu.ops.chain import LinkConfig, link_step
+
+TARGET = 5e7
+ITERATIONS = 20
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    batch = int(os.environ.get("BENCH_BATCH", "16384"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    code = get_code("wifi1944")
+    dev = jax.devices()[0]
+    log(f"device: {dev}, code: {code}, batch={batch}, iters={ITERATIONS}")
+
+    @jax.jit
+    def decode_step(key):
+        # fresh LLRs on-device per step: defeats any execute-request
+        # caching and keeps realistic message dynamics (all-zero cw + noise)
+        llr = jax.random.normal(key, (batch, code.n), jnp.float32) * 2.0 - 4.0
+        bits = bp_decode(
+            llr,
+            code,
+            iterations=ITERATIONS,
+            method="min-sum",
+            output="hard",
+        )
+        return jnp.sum(bits.astype(jnp.int32))
+
+    key = jax.random.key(0)
+    t0 = time.perf_counter()
+    float(decode_step(key))
+    log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
+
+    if os.environ.get("BENCH_PROFILE"):
+        jax.profiler.start_trace("/tmp/ldpc_bench_trace")
+
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(steps):
+        acc += decode_step(jax.random.fold_in(key, i))
+    acc = float(acc)  # host readback forces the whole chain
+    dt = time.perf_counter() - t0
+
+    if os.environ.get("BENCH_PROFILE"):
+        jax.profiler.stop_trace()
+        log("trace written to /tmp/ldpc_bench_trace")
+
+    info_bits = batch * code.k * steps
+    rate = info_bits / dt
+    log(
+        f"decode: {dt / steps * 1e3:.2f} ms/step, "
+        f"{batch / (dt / steps):.0f} cw/s, {rate:.3e} info bits/s"
+    )
+
+    # secondary: full-chain throughput (bits generated+encoded+OFDM+decoded)
+    cfg = LinkConfig(
+        bp_iterations=ITERATIONS, bp_method="min-sum", clamp=None,
+        ofdm_size=64,
+    )
+    chain = jax.jit(
+        lambda k: link_step(k, jnp.asarray(4.0), code, cfg, batch)[
+            "coded_bit_errors"
+        ]
+    )
+    float(chain(key))
+    n_chain = max(steps // 2, 1)
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(n_chain):
+        acc += chain(jax.random.fold_in(key, 1000 + i))
+    float(acc)
+    dt_chain = time.perf_counter() - t0
+    chain_rate = batch * code.k * n_chain / dt_chain
+    log(f"full chain: {chain_rate:.3e} info bits/s (incl. TX+channel+RX)")
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "decoded info bits/s/chip, (1944,972) 20-iter min-sum"
+                ),
+                "value": rate,
+                "unit": "bits/s",
+                "vs_baseline": rate / TARGET,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

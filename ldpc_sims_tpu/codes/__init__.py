@@ -2,6 +2,7 @@
 
 from ldpc_sims_tpu.codes.library import (  # noqa: F401
     LdpcCode,
+    QcStructure,
     get_code,
     make_regular_ldpc,
     reference_6432,

@@ -17,7 +17,35 @@ import numpy as np
 from ldpc_sims_tpu.codes import gf2
 from ldpc_sims_tpu.codes.tanner import TannerGraph
 
-__all__ = ["LdpcCode", "reference_6432", "make_regular_ldpc", "get_code"]
+__all__ = [
+    "LdpcCode",
+    "QcStructure",
+    "reference_6432",
+    "make_regular_ldpc",
+    "get_code",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class QcStructure:
+    """Quasi-cyclic structure: H is an (mb × nb) grid of z×z circulants.
+
+    ``base[i][j]`` is the cyclic shift of block (i, j), −1 for a zero
+    block. On TPU this matters a lot: the Tanner-graph message
+    permutation within a circulant block is a static cyclic roll of the
+    z axis — no gathers in the decode loop (see ops/bp_roll.py).
+    """
+
+    z: int
+    base: tuple[tuple[int, ...], ...]
+
+    @property
+    def mb(self) -> int:
+        return len(self.base)
+
+    @property
+    def nb(self) -> int:
+        return len(self.base[0])
 
 
 @dataclasses.dataclass(frozen=True)
@@ -29,10 +57,14 @@ class LdpcCode:
     for all library codes ``perm[:k] == arange(k)`` so info bits occupy
     positions 0..k-1, matching the reference convention of measuring coded
     BER on ``codeword[:, 0:k]`` (``evaluate_snr.py:128-133``).
+
+    ``qc`` carries the quasi-cyclic structure when the code has one
+    (802.11n family) — it selects the roll-based TPU decode backend.
     """
 
     name: str
     H: np.ndarray
+    qc: "QcStructure | None" = None
 
     def __post_init__(self):
         H = np.asarray(self.H, dtype=np.uint8) & 1

@@ -27,6 +27,7 @@ weights) are directly comparable.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
@@ -142,6 +143,41 @@ class TannerGraph:
             c_deg=c_deg,
             v_deg=v_deg,
         )
+
+    @functools.cached_property
+    def dense_routing(self) -> dict[str, np.ndarray]:
+        """Dense 0/1 routing matrices in padded check space (float32).
+
+        The MXU decode backend for small codes: one BP variable update is
+        two matmuls with these constants —
+        ``v2c = W_v @ c2v + L_exp @ Lv`` where
+
+        * ``W_v`` (Ec×Ec): routes check-space slot b into slot a iff both
+          are valid edges of the same variable and a ≠ b (the reference's
+          ``mask_v``/``mask_c`` idea, ``bp/masking.py:97-138``, but in a
+          single check-major linearization and used only for small codes
+          where O(E²) is free);
+        * ``L_exp`` (Ec×n): replicates each variable's channel LLR onto
+          its edge slots (the reference's ``llr_expander``);
+        * ``M_fin`` (n×Ec): marginalization map (``mask_v_final``).
+
+        Ec = n_checks·dc; padding slots have all-zero rows/columns so
+        their garbage never propagates.
+        """
+        Ec = self.n_checks * self.dc
+        var_of_slot = np.full(Ec, -1, dtype=np.int64)
+        var_of_slot[self.cslot_of_edge] = self.edge_var
+        valid = var_of_slot >= 0
+        same_var = (
+            (var_of_slot[:, None] == var_of_slot[None, :])
+            & valid[:, None]
+            & valid[None, :]
+        )
+        W_v = (same_var & ~np.eye(Ec, dtype=bool)).astype(np.float32)
+        L_exp = np.zeros((Ec, self.n_vars), dtype=np.float32)
+        L_exp[valid, var_of_slot[valid]] = 1.0
+        M_fin = L_exp.T.copy()
+        return {"W_v": W_v, "L_exp": L_exp, "M_fin": M_fin}
 
     # -- dense reconstructions (tests / debugging only) ------------------
 

@@ -2,29 +2,36 @@
 
 Replaces the reference decode stack (``bp/bp.py``, ``bp/bp_vc.py``,
 ``bp/bp_cv.py``, ``ofdm/ofdm_functions.py:131-163``) — dense E×E mask
-matmuls, an O(B·E³) hand-written backward, and a per-batch Python loop —
-with a pure-JAX edge-slot formulation:
+matmuls over the *whole* edge set, an O(B·E³) hand-written backward, and a
+per-batch Python loop — with three jit-compiled backends behind one API:
 
-* messages live in padded ``(n_checks, dc, batch)`` / ``(n_vars, dv,
-  batch)`` layouts (see :class:`~ldpc_sims_tpu.codes.tanner.TannerGraph`);
-  batch is the minor (lane) axis so the two per-iteration graph gathers are
-  contiguous row moves;
-* iteration loop is ``lax.fori_loop`` (or ``lax.while_loop`` with batched
-  syndrome early exit); the whole decode jits into one XLA program and
-  vmaps/shards trivially over the batch axis;
-* gradients come from JAX autodiff through the pure functional update —
-  no custom VJP needed (the reference needed two hand-written
-  ``autograd.Function`` backwards for this);
-* optional per-iteration trainable weights turn the same code path into a
-  neural-BP decoder (the reference's trainable-VC construction,
-  ``bp/bp_vc.py:101-107``, in Nachmani-style per-edge form).
+``roll``    for quasi-cyclic codes (802.11n family): message permutations
+            are static cyclic rolls per circulant block — **zero gathers**,
+            the TPU fast path (see ops/bp_roll.py). Selected automatically
+            when the code carries QC structure.
+``dense``   for small codes: the variable update is two MXU matmuls with
+            0/1 routing constants (TannerGraph.dense_routing); check update
+            runs on the padded (n_checks, dc, batch) reshape. O(B·E²) but
+            E is tiny (96 for the reference code).
+``gather``  the general O(E) edge-slot formulation using row gathers —
+            used on CPU and for large non-QC codes. Note: on current TPU
+            toolchains, constant-index gathers chained through the decode
+            loop crash the XLA fusion pass (tpu_instruction_fusion
+            ``main_instruction != nullptr``); on TPU prefer roll/dense.
+
+Iteration control is ``lax.fori_loop`` (or ``lax.while_loop`` with batched
+syndrome early exit); gradients come from JAX autodiff through the pure
+functional update — no custom VJP needed (the reference required two
+hand-written ``autograd.Function`` backwards). Optional per-iteration
+weight pytrees turn any backend into a neural-BP decoder (the reference's
+trainable-VC construction, ``bp/bp_vc.py:101-107``, in Nachmani-style
+per-edge form).
 
 Three check-node methods:
 
 ``min-sum``          two-minima rule with optional normalization ``alpha``
                      and offset ``beta`` — the throughput kernel.
-``sum-product``      numerically stable log-domain sum-product
-                     (sign × log-tanh magnitudes).
+``sum-product``      numerically stable log-domain sum-product.
 ``sum-product-ref``  arithmetic replica of the reference decoder: tanh of
                      half-messages, exclusive products, product clamp at
                      ±(1−1e−7) (``bp/bp_cv.py:44-50``), per-iteration
@@ -39,13 +46,13 @@ LLR sign convention: the public API takes channel LLRs as
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ldpc_sims_tpu.codes.library import LdpcCode
 from ldpc_sims_tpu.codes.tanner import TannerGraph
 
 __all__ = [
@@ -57,6 +64,7 @@ __all__ = [
 
 _BIG = 1e30  # inert magnitude for padding slots
 _REF_PROD_EPS = 1e-7  # product clamp of the reference CV (bp/bp_cv.py:44)
+_DENSE_MAX_PADDED_EDGES = 1024  # beyond this the E² matmuls stop being free
 
 
 def _take0(flat: jnp.ndarray, idx: np.ndarray, fill: float) -> jnp.ndarray:
@@ -129,12 +137,7 @@ def _check_update_minsum(
 
 
 def _check_update_sumproduct(v2c: jnp.ndarray) -> jnp.ndarray:
-    """Stable log-domain sum-product check update (dc axis = 1).
-
-    magnitude: 2·atanh(exp(Σ' log tanh(|m|/2))) with the exclusive sum done
-    prefix/suffix so a zero-magnitude input poisons only the *other* edges
-    of its check, exactly as in true sum-product.
-    """
+    """Stable log-domain sum-product check update (dc axis = 1)."""
     a = jnp.abs(v2c)
     sgn = _signs(v2c)
     # log tanh(a/2) = log1p(-e^{-a}) - log1p(e^{-a}); clamp the singularity
@@ -164,7 +167,7 @@ def _check_update_ref(v2c: jnp.ndarray, c_mask_b: jnp.ndarray) -> jnp.ndarray:
 
 
 def _quantize_messages(x: jnp.ndarray, bits: int, clip: float) -> jnp.ndarray:
-    """Uniform symmetric mid-rise message quantizer (decoder-side study).
+    """Uniform symmetric message quantizer (decoder-side study).
 
     2^bits levels over ±clip, same step rule as the reference ADC quantizer
     (``ofdm/ofdm_functions.py:37-51``) applied to BP messages — the
@@ -177,7 +180,7 @@ def _quantize_messages(x: jnp.ndarray, bits: int, clip: float) -> jnp.ndarray:
 
 
 def init_neural_bp_weights(
-    graph: TannerGraph, iterations: int, dtype=jnp.float32
+    graph: TannerGraph | LdpcCode, iterations: int, dtype=jnp.float32
 ) -> dict[str, jnp.ndarray]:
     """All-ones neural-BP weight pytree (= classic BP).
 
@@ -186,9 +189,12 @@ def init_neural_bp_weights(
     matrix and per-variable LLR weights; here: one weight per (iteration,
     edge) on the c2v message entering the variable update, stored in
     variable-space ``(n_vars, dv)`` slots, plus per-(iteration, variable)
-    LLR weights — the same trainable capacity that acts per edge, without
-    the dense matrix).
+    LLR weights — the same per-edge trainable capacity without the dense
+    matrix). The layout is backend-independent (variable slots are
+    check-sorted in every backend).
     """
+    if isinstance(graph, LdpcCode):
+        graph = graph.graph
     it = iterations
     return {
         "w_msg": jnp.ones((it, graph.n_vars, graph.dv), dtype=dtype),
@@ -200,7 +206,7 @@ def init_neural_bp_weights(
 
 def bp_decode(
     llr: jnp.ndarray,
-    graph: TannerGraph,
+    code: LdpcCode | TannerGraph,
     *,
     iterations: int = 20,
     method: str = "min-sum",
@@ -212,71 +218,164 @@ def bp_decode(
     msg_qclip: float = 20.0,
     weights: dict[str, Any] | None = None,
     output: str = "hard",
+    backend: str = "auto",
     dtype=jnp.float32,
 ) -> jnp.ndarray | tuple:
     """Decode a batch of codewords with iterative BP.
 
     Args:
       llr: (batch, n_vars) channel LLRs, convention log(Pr1/Pr0).
-      graph: compiled Tanner graph.
+      code: an :class:`LdpcCode` (preferred — enables the QC roll backend)
+        or a bare :class:`TannerGraph`.
       iterations: BP iterations (fixed trip count unless early_stop).
       method: 'min-sum' | 'sum-product' | 'sum-product-ref'.
       alpha, beta: normalization / offset for min-sum.
       clamp: per-iteration c2v message clamp (the reference uses 20,
         ``bp/bp.py:47`` via ``evaluate_snr.py``); None = no clamp.
       early_stop: stop the whole batch once every codeword satisfies all
-        parity checks (batched syndrome + ``lax.while_loop``).
-      msg_qbits/msg_qclip: optional uniform message quantization applied to
-        c2v messages each iteration (quantized-decoder study).
+        parity checks (batched syndrome + ``lax.while_loop``). Not
+        combinable with ``weights``.
+      msg_qbits/msg_qclip: optional uniform quantization of c2v messages
+        each iteration (quantized-decoder study).
       weights: optional neural-BP weight pytree from
         :func:`init_neural_bp_weights` (differentiable).
       output: 'hard' → (batch, n) int8 bits; 'soft' → (batch, n) Pr(bit=1)
         on the reference's sigmoid-of-half-LLR scale (``bp/bp.py:36-51``);
         'posterior' → (batch, n) posterior log(Pr1/Pr0); 'hard_iters' →
         (bits, iterations_run).
+      backend: 'auto' | 'roll' | 'dense' | 'gather' (see module docs).
     """
     if method not in ("min-sum", "sum-product", "sum-product-ref"):
         raise ValueError(f"unknown method {method!r}")
-    g = graph
+    if early_stop and weights is not None:
+        raise ValueError("early_stop with neural-BP weights is unsupported")
+
+    qc = code.qc if isinstance(code, LdpcCode) else None
+    g = code.graph if isinstance(code, LdpcCode) else code
+
+    if backend == "auto":
+        if qc is not None:
+            backend = "roll"
+        elif g.n_checks * g.dc <= _DENSE_MAX_PADDED_EDGES:
+            backend = "dense"
+        else:
+            backend = "gather"
+    if backend == "roll":
+        if qc is None:
+            raise ValueError("roll backend requires a quasi-cyclic LdpcCode")
+        from ldpc_sims_tpu.ops.bp_roll import decode_roll
+
+        return decode_roll(
+            llr,
+            qc,
+            iterations=iterations,
+            method=method,
+            alpha=alpha,
+            beta=beta,
+            clamp=clamp,
+            early_stop=early_stop,
+            msg_qbits=msg_qbits,
+            msg_qclip=msg_qclip,
+            weights=weights,
+            output=output,
+            dtype=dtype,
+        )
+    if backend not in ("dense", "gather"):
+        raise ValueError(f"unknown backend {backend!r}")
+
     n, m, dc, dv = g.n_vars, g.n_checks, g.dc, g.dv
     B = llr.shape[0]
-
-    to_var = jnp.asarray(g.to_var_space)
-    to_check = jnp.asarray(g.to_check_space)
-    v_mask_b = jnp.asarray(g.v_mask)[:, :, None]
-    c_mask_b = jnp.asarray(g.c_mask)[:, :, None]
-
+    Ec = m * dc
     Lv = (-llr.T).astype(dtype)  # (n, B), internal log(Pr0/Pr1)
     c2v0 = jnp.zeros((m, dc, B), dtype=dtype)
-
+    c_mask_b = jnp.asarray(g.c_mask)[:, :, None]
     ref_mode = method == "sum-product-ref"
-    fill_in = 0.0  # gathering c2v into var space: missing → 0 contribution
 
-    def var_to_check(c2v: jnp.ndarray, w_it=None):
-        """Variable update: returns v2c in check space (m, dc, B).
+    if weights is not None:
+        weights = jax.tree.map(lambda x: jnp.asarray(x, dtype), weights)
 
-        ``w_it`` is this iteration's neural-BP weight slice
-        ``(w_msg (n, dv), w_llr (n,))`` or None for classic BP.
-        """
-        vm = _take0(c2v.reshape(m * dc, B), to_var, fill_in).reshape(n, dv, B)
-        if w_it is not None:
-            w_msg, w_llr = w_it
-            vm = vm * w_msg[:, :, None]
-            lv = w_llr[:, None] * Lv
-        else:
-            lv = Lv
-        if ref_mode:
-            # exact exclusive sum, half messages (bp/bp_vc.py:16-32 does
-            # 0.5·(llr + Σ masked); tanh of that half-message feeds the CV)
-            ex = _exclusive_sum(jnp.where(v_mask_b, vm, 0.0), axis=1)
-            v2c_v = lv[:, None, :] + ex
-        else:
-            total = lv + jnp.sum(jnp.where(v_mask_b, vm, 0.0), axis=1)
-            v2c_v = total[:, None, :] - vm
-        fill = _BIG  # pad check slots become inert (+BIG magnitude, sign +)
-        return _take0(
-            v2c_v.reshape(n * dv, B), to_check, fill
-        ).reshape(m, dc, B)
+    if backend == "dense":
+        routing = g.dense_routing
+        W_v = jnp.asarray(routing["W_v"], dtype)
+        L_exp = jnp.asarray(routing["L_exp"], dtype)
+        M_fin = jnp.asarray(routing["M_fin"], dtype)
+        # variable-space weight slots → check-space edge order (one static
+        # gather per weight tensor, outside the decode loop)
+        vslot_of_cslot = np.minimum(g.to_check_space, n * dv - 1)
+        cs_valid = jnp.asarray(
+            (g.to_check_space < n * dv).astype(np.float32)
+        )
+
+        def w_to_cs(w_msg: jnp.ndarray) -> jnp.ndarray:
+            flat = w_msg.reshape(*w_msg.shape[:-2], n * dv)
+            return (
+                jnp.take(flat, jnp.asarray(vslot_of_cslot), axis=-1)
+                * cs_valid
+            )
+
+        w_msg_cs = w_to_cs(weights["w_msg"]) if weights is not None else None
+        w_fin_cs = (
+            w_to_cs(weights["w_msg_final"]) if weights is not None else None
+        )
+
+        def var_to_check(c2v: jnp.ndarray, it) -> jnp.ndarray:
+            x = c2v.reshape(m * dc, B)
+            if weights is not None:
+                x = w_msg_cs[it][:, None] * x
+                lv = weights["w_llr"][it][:, None] * Lv
+            else:
+                lv = Lv
+            v2c = (
+                jnp.dot(W_v, x, preferred_element_type=dtype)
+                + jnp.dot(L_exp, lv, preferred_element_type=dtype)
+            ).reshape(m, dc, B)
+            return jnp.where(c_mask_b, v2c, _BIG)
+
+        def posterior(c2v: jnp.ndarray) -> jnp.ndarray:
+            x = c2v.reshape(m * dc, B)
+            if weights is not None:
+                x = w_fin_cs[:, None] * x
+                lv = weights["w_llr_final"][:, None] * Lv
+            else:
+                lv = Lv
+            return lv + jnp.dot(M_fin, x, preferred_element_type=dtype)
+
+    else:  # gather backend
+        to_var = jnp.asarray(g.to_var_space)
+        to_check = jnp.asarray(g.to_check_space)
+        v_mask_b = jnp.asarray(g.v_mask)[:, :, None]
+
+        def gather_to_var(c2v: jnp.ndarray) -> jnp.ndarray:
+            vm = _take0(c2v.reshape(m * dc, B), to_var, 0.0)
+            return vm.reshape(n, dv, B)
+
+        def var_to_check(c2v: jnp.ndarray, it) -> jnp.ndarray:
+            vm = gather_to_var(c2v)
+            if weights is not None:
+                vm = vm * weights["w_msg"][it][:, :, None]
+                lv = weights["w_llr"][it][:, None] * Lv
+            else:
+                lv = Lv
+            if ref_mode:
+                # exact exclusive sum (matches the reference's masked
+                # matmul accumulation up to float reassociation)
+                ex = _exclusive_sum(jnp.where(v_mask_b, vm, 0.0), axis=1)
+                v2c_v = lv[:, None, :] + ex
+            else:
+                total = lv + jnp.sum(jnp.where(v_mask_b, vm, 0.0), axis=1)
+                v2c_v = total[:, None, :] - vm
+            return _take0(
+                v2c_v.reshape(n * dv, B), to_check, _BIG
+            ).reshape(m, dc, B)
+
+        def posterior(c2v: jnp.ndarray) -> jnp.ndarray:
+            vm = gather_to_var(c2v)
+            if weights is not None:
+                vm = vm * weights["w_msg_final"][:, :, None]
+                lv = weights["w_llr_final"][:, None] * Lv
+            else:
+                lv = Lv
+            return lv + jnp.sum(jnp.where(v_mask_b, vm, 0.0), axis=1)
 
     def check_update(v2c: jnp.ndarray) -> jnp.ndarray:
         if method == "min-sum":
@@ -291,42 +390,34 @@ def bp_decode(
             c2v = _quantize_messages(c2v, msg_qbits, msg_qclip)
         return c2v
 
-    if weights is not None:
-        weights = jax.tree.map(jnp.asarray, weights)
-
     def one_iteration(it, c2v):
-        if weights is not None:
-            w_it = (
-                jax.lax.dynamic_index_in_dim(
-                    weights["w_msg"], it, keepdims=False
-                ),
-                jax.lax.dynamic_index_in_dim(
-                    weights["w_llr"], it, keepdims=False
-                ),
-            )
-        else:
-            w_it = None
-        return check_update(var_to_check(c2v, w_it))
-
-    def posterior(c2v: jnp.ndarray) -> jnp.ndarray:
-        """(n, B) internal posterior log(Pr0/Pr1)."""
-        vm = _take0(c2v.reshape(m * dc, B), to_var, 0.0).reshape(n, dv, B)
-        if weights is not None:
-            vm = vm * weights["w_msg_final"][:, :, None]
-            lv = weights["w_llr_final"][:, None] * Lv
-        else:
-            lv = Lv
-        return lv + jnp.sum(jnp.where(v_mask_b, vm, 0.0), axis=1)
+        return check_update(var_to_check(c2v, it))
 
     def hard(c2v: jnp.ndarray) -> jnp.ndarray:
         return (posterior(c2v) < 0).astype(jnp.int8)  # (n, B)
 
     if early_stop:
+        if backend == "dense":
+            # gather-free syndrome: int8 matmul against H (MXU)
+            H_dense = np.zeros((m, n), dtype=np.int8)
+            H_dense[g.edge_check, g.edge_var] = 1
+            Hj = jnp.asarray(H_dense)
 
-        def all_satisfied(c2v):
-            bits = hard(c2v).astype(jnp.int32)  # (n, B)
-            s = syndrome_from_bits_nb(bits, g)
-            return jnp.all(s == 0)
+            def all_satisfied(c2v):
+                bits = hard(c2v).astype(jnp.int8)  # (n, B)
+                s = jax.lax.dot_general(
+                    Hj, bits,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ) & 1
+                return jnp.all(s == 0)
+
+        else:
+
+            def all_satisfied(c2v):
+                bits = hard(c2v).astype(jnp.int32)  # (n, B)
+                s = syndrome_from_bits_nb(bits, g)
+                return jnp.all(s == 0)
 
         def cond(state):
             it, c2v, done = state
@@ -342,14 +433,11 @@ def bp_decode(
         )
     else:
         if weights is not None:
-            # stream per-iteration weight slices through scan xs (no
-            # traced indexing needed)
-            def scan_body(c2v, w_it):
-                return check_update(var_to_check(c2v, w_it)), None
-
-            c2v, _ = jax.lax.scan(
-                scan_body, c2v0, (weights["w_msg"], weights["w_llr"])
-            )
+            # static per-iteration weight indices (plain Python loop —
+            # `iterations` is static and small)
+            c2v = c2v0
+            for it in range(iterations):
+                c2v = one_iteration(it, c2v)
         else:
             c2v = jax.lax.fori_loop(
                 0, iterations, lambda i, x: one_iteration(i, x), c2v0
@@ -396,7 +484,7 @@ def syndrome(bits: jnp.ndarray, H: np.ndarray) -> jnp.ndarray:
 
 def decode_to_bits(
     llrs: jnp.ndarray,
-    graph: TannerGraph,
+    code: LdpcCode | TannerGraph,
     bp_iterations: int,
     clamp_value: float = 20.0,
     method: str = "sum-product-ref",
@@ -407,7 +495,7 @@ def decode_to_bits(
     """
     return bp_decode(
         llrs,
-        graph,
+        code,
         iterations=bp_iterations,
         method=method,
         clamp=clamp_value,

@@ -1,0 +1,280 @@
+"""Roll-based BP decoding for quasi-cyclic LDPC codes (the TPU fast path).
+
+For a QC code, H is an (mb × nb) grid of z×z circulants with shifts
+s_ij. Every Tanner-graph edge lives in exactly one nonzero block, and the
+check-side ↔ variable-side reindexing *within a block* is a cyclic shift
+of the z axis by s_ij. So BP needs **no gather/scatter at all**: messages
+are kept as one plane of shape (z, batch) per nonzero block, and moving a
+plane between check orientation and variable orientation is
+``jnp.roll(plane, ±s, axis=0)`` — a static pair of slices that XLA/Mosaic
+tile perfectly. All reductions run over tiny static plane-group axes.
+
+This replaces both the reference's dense E×E mask matmuls
+(``bp/bp_vc.py:16-32``, O(B·E²)) and the generic edge-gather formulation
+(ops/bp.py) on TPU, where constant-index gathers inside the decode loop
+currently crash the XLA TPU fusion pass (tpu_instruction_fusion
+``main_instruction != nullptr`` — observed on v5e, jax 0.9 remote
+compile); rolls sidestep the bug *and* are faster.
+
+Plane convention (check orientation): for block (i, j) with shift s,
+``plane[r, b]`` is the message on the edge between check ``i·z + r`` and
+variable ``j·z + (r + s) mod z``. Variable orientation is
+``roll(plane, s)`` (row q ↔ variable j·z+q); the inverse is
+``roll(·, −s)``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldpc_sims_tpu.codes.library import QcStructure
+
+__all__ = ["decode_roll", "qc_plan"]
+
+_BIG = 1e30
+_REF_PROD_EPS = 1e-7
+
+
+def qc_plan(qc: QcStructure):
+    """Static decode plan: plane list + per-check/per-var groupings.
+
+    Planes are ordered block-row-major (sorted by (i, j)); a variable
+    block's planes are listed sorted by check-block row i — the same
+    check-sorted slot order as ``TannerGraph`` variable slots, so neural
+    BP weight pytrees index identically across backends.
+    """
+    planes: list[tuple[int, int, int]] = []  # (i, j, shift)
+    for i, row in enumerate(qc.base):
+        for j, s in enumerate(row):
+            if s >= 0:
+                planes.append((i, j, int(s)))
+    group_c: list[list[int]] = [[] for _ in range(qc.mb)]
+    group_v: list[list[int]] = [[] for _ in range(qc.nb)]
+    for p, (i, j, _s) in enumerate(planes):
+        group_c[i].append(p)
+        group_v[j].append(p)
+    # planes are (i, j)-sorted so group_c entries are j-sorted and
+    # group_v entries are i-sorted already
+    return planes, group_c, group_v
+
+
+def _signs(x):
+    return jnp.where(x < 0, -1.0, 1.0).astype(x.dtype)
+
+
+def _minsum_excl(x: jnp.ndarray, alpha: float, beta: float) -> jnp.ndarray:
+    """Exclusive min-sum over axis 0 of (d, z, B) via two-minima."""
+    a = jnp.abs(x)
+    sgn = _signs(x)
+    min1 = jnp.min(a, axis=0, keepdims=True)
+    idx = jnp.argmin(a, axis=0)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) == idx[None]
+    )
+    min2 = jnp.min(jnp.where(onehot, _BIG, a), axis=0, keepdims=True)
+    exmin = jnp.where(onehot, min2, min1)
+    exsign = jnp.prod(sgn, axis=0, keepdims=True) * sgn
+    mag = jnp.maximum(exmin - beta, 0.0) if beta else exmin
+    out = exsign * mag
+    return out * alpha if alpha != 1.0 else out
+
+
+def _sumproduct_excl(x: jnp.ndarray) -> jnp.ndarray:
+    """Stable exclusive sum-product over axis 0 (see ops/bp.py)."""
+    a = jnp.abs(x)
+    sgn = _signs(x)
+    e = jnp.exp(-a)
+    lt = jnp.log1p(-jnp.minimum(e, 1.0 - 1e-12)) - jnp.log1p(e)
+    s = jnp.sum(lt, axis=0, keepdims=True) - lt
+    p = jnp.minimum(jnp.exp(s), 1.0 - 1e-12)
+    mag = jnp.log1p(p) - jnp.log1p(-p)
+    exsign = jnp.prod(sgn, axis=0, keepdims=True) * sgn
+    return exsign * mag
+
+
+def _ref_excl(x: jnp.ndarray) -> jnp.ndarray:
+    """Reference-arithmetic sum-product over axis 0 (``bp/bp_cv.py``):
+    tanh of half-messages, exclusive product, ±(1−1e−7) clamp, 2·atanh."""
+    t = jnp.tanh(x * 0.5)
+    total = jnp.prod(t, axis=0, keepdims=True)
+    # exclusive product via prefix/suffix (no division)
+    d = x.shape[0]
+    ones = jnp.ones_like(t[:1])
+    left = jnp.concatenate([ones, jnp.cumprod(t, axis=0)[: d - 1]], axis=0)
+    rev = jnp.flip(t, axis=0)
+    right = jnp.flip(jnp.cumprod(rev, axis=0), axis=0)
+    right = jnp.concatenate([right[1:], ones], axis=0)
+    del total
+    p = jnp.clip(left * right, -(1 - _REF_PROD_EPS), 1 - _REF_PROD_EPS)
+    return jnp.log((1.0 + p) / (1.0 - p))
+
+
+def decode_roll(
+    llr: jnp.ndarray,
+    qc: QcStructure,
+    *,
+    iterations: int = 20,
+    method: str = "min-sum",
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    clamp: float | None = None,
+    early_stop: bool = False,
+    msg_qbits: int | None = None,
+    msg_qclip: float = 20.0,
+    weights: dict[str, Any] | None = None,
+    output: str = "hard",
+    dtype=jnp.float32,
+):
+    """QC-LDPC BP decode; same contract as :func:`ldpc_sims_tpu.ops.bp.bp_decode`.
+
+    llr: (batch, n) channel LLRs, log(Pr1/Pr0) convention.
+    """
+    z, nb, mb = qc.z, qc.nb, qc.mb
+    planes, group_c, group_v = qc_plan(qc)
+    P = len(planes)
+    B = llr.shape[0]
+    n = nb * z
+
+    # internal convention log(Pr0/Pr1), variable-block layout (nb, z, B)
+    Lv = (-llr.T).astype(dtype).reshape(nb, z, B)
+
+    if weights is not None:
+        weights = jax.tree.map(lambda x: jnp.asarray(x, dtype), weights)
+
+    def wslice(w_msg, w_llr):
+        """Split flat weight arrays into per-plane / per-block views.
+
+        w_msg: (n, dv) variable-space slot weights (dv = padded max var
+        degree, slots check-sorted — matches group_v order); w_llr: (n,).
+        """
+        wm = w_msg.reshape(nb, z, -1)
+        wl = w_llr.reshape(nb, z)
+        per_plane = [None] * P
+        for j in range(nb):
+            for k, p in enumerate(group_v[j]):
+                per_plane[p] = wm[j, :, k][:, None]  # (z, 1), var orient
+        return per_plane, wl
+
+    def check_update(v2c_planes: list) -> list:
+        out: list = [None] * P
+        for i in range(mb):
+            ps = group_c[i]
+            x = jnp.stack([v2c_planes[p] for p in ps])  # (d, z, B)
+            if method == "min-sum":
+                y = _minsum_excl(x, alpha, beta)
+            elif method == "sum-product":
+                y = _sumproduct_excl(x)
+            else:
+                y = _ref_excl(x)
+            if clamp is not None:
+                y = jnp.clip(y, -clamp, clamp)
+            if msg_qbits is not None:
+                step = 2.0 * msg_qclip / (2**msg_qbits - 1)
+                y = jnp.clip(jnp.round(y / step) * step, -msg_qclip, msg_qclip)
+            for k, p in enumerate(ps):
+                out[p] = y[k]
+        return out
+
+    def var_update(c2v_planes: list, w_it=None) -> list:
+        """c2v (check orient) → v2c (check orient)."""
+        wp, wl = (None, None)
+        if w_it is not None:
+            wp, wl = w_it
+        out: list = [None] * P
+        for j in range(nb):
+            ps = group_v[j]
+            xs = []
+            for p in ps:
+                v = jnp.roll(c2v_planes[p], planes[p][2], axis=0)
+                if wp is not None:
+                    v = v * wp[p]
+                xs.append(v)
+            x = jnp.stack(xs)  # (d, z, B) var orientation
+            lv = Lv[j] if wl is None else wl[j][:, None] * Lv[j]
+            total = lv + jnp.sum(x, axis=0)
+            v2c_var = total[None] - x
+            for k, p in enumerate(ps):
+                out[p] = jnp.roll(v2c_var[k], -planes[p][2], axis=0)
+        return out
+
+    def posterior(c2v_planes: list, final=True) -> jnp.ndarray:
+        """(nb, z, B) internal posterior log(Pr0/Pr1)."""
+        if weights is not None and final:
+            wp, wl = wslice(weights["w_msg_final"], weights["w_llr_final"])
+        else:
+            wp, wl = None, None
+        rows = []
+        for j in range(nb):
+            acc = Lv[j] if wl is None else wl[j][:, None] * Lv[j]
+            for p in group_v[j]:
+                v = jnp.roll(c2v_planes[p], planes[p][2], axis=0)
+                if wp is not None:
+                    v = v * wp[p]
+                acc = acc + v
+            rows.append(acc)
+        return jnp.stack(rows)  # (nb, z, B)
+
+    def hard_bits(c2v_planes: list) -> jnp.ndarray:
+        return (posterior(c2v_planes) < 0).astype(jnp.int8)
+
+    def syndrome_ok(c2v_planes: list) -> jnp.ndarray:
+        bits = hard_bits(c2v_planes).astype(jnp.int32)  # (nb, z, B)
+        ok = jnp.bool_(True)
+        for i in range(mb):
+            acc = 0
+            for p in group_c[i]:
+                _, j, s = planes[p]
+                # check i·z+r sees variable j·z+(r+s): roll bits by −s
+                acc = acc + jnp.roll(bits[j], -s, axis=0)
+            ok = jnp.logical_and(ok, jnp.all(acc % 2 == 0))
+        return ok
+
+    zero = [jnp.zeros((z, B), dtype) for _ in range(P)]
+
+    def one_iter(c2v_planes: list, w_it=None) -> list:
+        return check_update(var_update(c2v_planes, w_it))
+
+    if weights is not None:
+        w_planes = []  # per-iteration static weight views
+        for it in range(iterations):
+            w_planes.append(
+                wslice(weights["w_msg"][it], weights["w_llr"][it])
+            )
+
+    if early_stop:
+        def cond(state):
+            it, _, done = state
+            return jnp.logical_and(it < iterations, jnp.logical_not(done))
+
+        def body(state):
+            it, c2v, _ = state
+            c2v = one_iter(c2v)  # weights unsupported with early_stop
+            return it + 1, c2v, syndrome_ok(c2v)
+
+        iters_run, c2v, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), zero, jnp.bool_(False))
+        )
+    elif weights is not None:
+        c2v = zero
+        for it in range(iterations):  # per-iteration weights are static
+            c2v = one_iter(c2v, w_planes[it])
+        iters_run = jnp.int32(iterations)
+    else:
+        c2v = jax.lax.fori_loop(
+            0, iterations, lambda i, x: one_iter(x), zero
+        )
+        iters_run = jnp.int32(iterations)
+
+    post = posterior(c2v)  # (nb, z, B)
+    if output == "posterior":
+        return (-post).reshape(n, B).T
+    if output == "soft":
+        return jax.nn.sigmoid(-0.5 * post).reshape(n, B).T
+    bits = (post < 0).astype(jnp.int8).reshape(n, B).T
+    if output == "hard_iters":
+        return bits, iters_run
+    return bits

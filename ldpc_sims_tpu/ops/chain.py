@@ -189,7 +189,7 @@ def link_step(
 
     bits_est = bp_decode(
         decode_llrs,
-        code.graph,
+        code,
         iterations=cfg.bp_iterations,
         method=cfg.bp_method,
         alpha=cfg.alpha,
@@ -206,15 +206,15 @@ def link_step(
     info_err = jnp.sum(
         (bits_est[:, :k] != coded[:, :k]).astype(jnp.int32), axis=1
     )
+    # int32 counters: per-call counts stay far below 2³¹ (the sweep engine
+    # accumulates across calls in Python floats)
     out.update(
-        uncoded_bit_errors=jnp.sum(
-            (uncoded_est != coded).astype(jnp.int32)
-        ).astype(jnp.int64),
-        coded_bit_errors=jnp.sum(info_err).astype(jnp.int64),
-        frame_errors=jnp.sum(info_err > 0).astype(jnp.int64),
-        uncoded_bits=jnp.int64(batch_cw * n),
-        info_bits=jnp.int64(batch_cw * k),
-        frames=jnp.int64(batch_cw),
+        uncoded_bit_errors=jnp.sum((uncoded_est != coded).astype(jnp.int32)),
+        coded_bit_errors=jnp.sum(info_err),
+        frame_errors=jnp.sum((info_err > 0).astype(jnp.int32)),
+        uncoded_bits=jnp.int32(batch_cw * n),
+        info_bits=jnp.int32(batch_cw * k),
+        frames=jnp.int32(batch_cw),
     )
     if return_arrays:
         out["llrs"] = llrs

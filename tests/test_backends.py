@@ -1,0 +1,123 @@
+"""Cross-backend equivalence: roll (QC) vs dense (MXU) vs gather decoders
+must agree to float tolerance on identical inputs, including neural-BP
+weights, early stop, and all three check-node methods."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpc_sims_tpu.codes import get_code, reference_6432
+from ldpc_sims_tpu.ops.bp import bp_decode, init_neural_bp_weights
+
+
+@pytest.fixture(scope="module")
+def wifi():
+    return get_code("wifi648")
+
+
+@pytest.mark.parametrize("method", ["min-sum", "sum-product", "sum-product-ref"])
+def test_roll_equals_gather(wifi, method, rng):
+    llr = jnp.asarray(rng.normal(0, 3, (8, wifi.n)), jnp.float32)
+    kw = dict(iterations=4, method=method, clamp=20.0, output="posterior")
+    a = np.array(bp_decode(llr, wifi, backend="roll", **kw))
+    b = np.array(bp_decode(llr, wifi, backend="gather", **kw))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("method", ["min-sum", "sum-product", "sum-product-ref"])
+def test_dense_equals_gather(method, rng):
+    code = reference_6432()
+    llr = jnp.asarray(rng.normal(0, 3, (8, code.n)), jnp.float32)
+    kw = dict(iterations=4, method=method, clamp=20.0, output="posterior")
+    a = np.array(bp_decode(llr, code, backend="dense", **kw))
+    b = np.array(bp_decode(llr, code, backend="gather", **kw))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_auto_backend_selection(wifi):
+    # QC code → roll; small code → dense; both must simply run
+    llr = jnp.zeros((4, wifi.n))
+    assert bp_decode(llr, wifi, iterations=1).shape == (4, wifi.n)
+    code = reference_6432()
+    assert bp_decode(jnp.zeros((4, 64)), code, iterations=1).shape == (4, 64)
+
+
+def test_roll_requires_qc():
+    code = reference_6432()
+    with pytest.raises(ValueError, match="quasi-cyclic"):
+        bp_decode(jnp.zeros((4, 64)), code, backend="roll")
+
+
+def test_weighted_equivalence_all_backends(wifi, rng):
+    key = jax.random.key(3)
+    w = init_neural_bp_weights(wifi, 3)
+    w = jax.tree.map(
+        lambda x: x * (1 + 0.2 * jax.random.normal(key, x.shape)), w
+    )
+    llr = jnp.asarray(rng.normal(0, 2, (4, wifi.n)), jnp.float32)
+    kw = dict(iterations=3, method="sum-product", weights=w,
+              output="posterior")
+    a = np.array(bp_decode(llr, wifi, backend="roll", **kw))
+    b = np.array(bp_decode(llr, wifi, backend="gather", **kw))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    code = reference_6432()
+    w2 = init_neural_bp_weights(code, 3)
+    w2 = jax.tree.map(
+        lambda x: x * (1 + 0.2 * jax.random.normal(key, x.shape)), w2
+    )
+    llr2 = jnp.asarray(rng.normal(0, 2, (4, 64)), jnp.float32)
+    kw2 = dict(iterations=3, method="sum-product", weights=w2,
+               output="posterior")
+    c = np.array(bp_decode(llr2, code, backend="dense", **kw2))
+    d = np.array(bp_decode(llr2, code, backend="gather", **kw2))
+    np.testing.assert_allclose(c, d, rtol=1e-4, atol=1e-4)
+
+
+def test_early_stop_roll(wifi, rng):
+    u = rng.integers(0, 2, (8, wifi.k)).astype(np.uint8)
+    cw = wifi.encode_np(u)
+    llr = jnp.asarray((2.0 * cw - 1.0) * 7.0, jnp.float32)
+    bits, iters = bp_decode(llr, wifi, iterations=20, method="min-sum",
+                            early_stop=True, output="hard_iters",
+                            backend="roll")
+    assert int(iters) < 20
+    np.testing.assert_array_equal(np.array(bits), cw)
+
+
+def test_early_stop_dense(rng):
+    code = reference_6432()
+    u = rng.integers(0, 2, (8, 32)).astype(np.uint8)
+    cw = code.encode_np(u)
+    llr = jnp.asarray((2.0 * cw - 1.0) * 7.0, jnp.float32)
+    bits, iters = bp_decode(llr, code, iterations=20, method="min-sum",
+                            early_stop=True, output="hard_iters",
+                            backend="dense")
+    assert int(iters) < 20
+    np.testing.assert_array_equal(np.array(bits), cw)
+
+
+def test_early_stop_with_weights_rejected(wifi):
+    w = init_neural_bp_weights(wifi, 2)
+    with pytest.raises(ValueError, match="early_stop"):
+        bp_decode(jnp.zeros((4, wifi.n)), wifi, iterations=2,
+                  early_stop=True, weights=w)
+
+
+def test_weighted_gradients_roll(wifi, rng):
+    """Neural-BP is differentiable through the roll backend."""
+    llr = jnp.asarray(rng.normal(0, 2, (4, wifi.n)), jnp.float32)
+    target = jnp.asarray(rng.integers(0, 2, (4, wifi.n)), jnp.float32)
+    w = init_neural_bp_weights(wifi, 2)
+
+    def loss(w):
+        p1 = bp_decode(llr, wifi, iterations=2, method="sum-product",
+                       output="soft", weights=w, backend="roll")
+        eps = 1e-6
+        return -jnp.mean(target * jnp.log(p1 + eps)
+                         + (1 - target) * jnp.log(1 - p1 + eps))
+
+    val, grads = jax.value_and_grad(loss)(w)
+    assert np.isfinite(float(val))
+    assert sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads)) > 0

@@ -1,0 +1,79 @@
+"""Mesh/Monte-Carlo engine tests on the virtual 8-device CPU mesh."""
+
+import json
+
+import jax
+import numpy as np
+import pytest
+
+from ldpc_sims_tpu.codes import reference_6432
+from ldpc_sims_tpu.ops.chain import LinkConfig
+from ldpc_sims_tpu.parallel import (
+    SweepConfig,
+    make_mesh,
+    mc_step,
+    run_sweep,
+)
+
+
+def test_mesh_uses_all_devices():
+    mesh = make_mesh()
+    assert int(np.prod(list(mesh.shape.values()))) == len(jax.devices()) == 8
+
+
+def test_mesh_snr_axis_split():
+    mesh = make_mesh(snr_axis=2)
+    assert mesh.shape["snr"] == 2 and mesh.shape["batch"] == 4
+
+
+def test_mc_step_sharded_counts():
+    code = reference_6432()
+    cfg = LinkConfig(bp_iterations=3)
+    step = mc_step(code, cfg, batch_cw=512)
+    out = step(jax.random.key(0), 4.0)
+    assert float(out["info_bits"]) == 512 * 32
+    assert float(out["frames"]) == 512
+    ber = float(out["coded_bit_errors"]) / float(out["info_bits"])
+    assert 1e-4 < ber < 5e-2  # ~4.5e-3 at 4 dB per reference table
+
+
+def test_mc_step_batch_divisibility():
+    code = reference_6432()
+    with pytest.raises(ValueError, match="divisible"):
+        mc_step(code, LinkConfig(), batch_cw=100)
+
+
+def test_sweep_resumes_from_manifest(tmp_path):
+    code = reference_6432()
+    cfg = LinkConfig(bp_iterations=3)
+    sweep = SweepConfig(
+        snrdb=(2.0, 4.0),
+        batch_cw=256,
+        target_frame_errors=5,
+        min_info_bits=256 * 32,
+        max_info_bits=4 * 256 * 32,
+    )
+    manifest = str(tmp_path / "sweep.json")
+    r1 = run_sweep(code, cfg, sweep, manifest_path=manifest, log=None)
+    with open(manifest) as f:
+        state = json.load(f)
+    assert set(state["points"]) == {"2", "4"}
+    # resume: finished points are not recomputed (counts unchanged)
+    r2 = run_sweep(code, cfg, sweep, manifest_path=manifest, log=None)
+    assert r1.coded_ber == r2.coded_ber
+    assert r1.info_bits == r2.info_bits
+
+
+def test_sweep_rates_sane():
+    code = reference_6432()
+    cfg = LinkConfig(bp_iterations=3)
+    sweep = SweepConfig(
+        snrdb=(0.0, 6.0),
+        batch_cw=512,
+        target_frame_errors=3,
+        min_info_bits=512 * 32,
+        max_info_bits=2 * 512 * 32,
+    )
+    r = run_sweep(code, cfg, sweep, log=None)
+    assert r.coded_ber[0] > r.coded_ber[1]
+    assert all(b <= 1 for b in r.coded_bler)
