@@ -1,0 +1,383 @@
+"""Command-line interface.
+
+The reference has no CLI at all — every experiment is a script with
+hardcoded constants and ``#CHANGE THIS`` comments
+(``unquantized.py:13``, ``evaluate_snr.py:14-22``) chained through
+hand-edited timestamp strings. Here: argparse subcommands + named presets
+covering the benchmark configurations of ``/root/repo/BASELINE.json``.
+
+    python -m ldpc_sims_tpu sweep --preset small-cpu
+    python -m ldpc_sims_tpu sweep --code wifi648 --method sum-product \
+        --iters 20 --snr 0:6:13
+    python -m ldpc_sims_tpu train-llr --qbits 3 --snr-low 0 --snr-high 10
+    python -m ldpc_sims_tpu train-joint --snrdb 5
+    python -m ldpc_sims_tpu evaluate --ckpt outputs/model/<dir> --qbits 3
+    python -m ldpc_sims_tpu generate-data --num-codewords 4096
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldpc_sims_tpu.codes import get_code
+from ldpc_sims_tpu.ops.chain import LinkConfig
+
+# The five benchmark configurations (BASELINE.json "configs").
+PRESETS: dict[str, dict] = {
+    # 1: Small (128,64) regular LDPC, BPSK/AWGN, 10-iter min-sum,
+    #    batch 1k, single SNR point (CPU-runnable)
+    "small-cpu": dict(
+        code="peg128_64",
+        link=dict(modulation="bpsk", bp_iterations=10, bp_method="min-sum",
+                  clamp=None, ofdm_size=32),
+        sweep=dict(snrdb=(2.0,), batch_cw=1024, target_frame_errors=50,
+                   max_info_bits=2e6),
+    ),
+    # 2: 802.11n (648,324), Eb/N0 sweep 0-6 dB, 20-iter sum-product
+    "wifi648-sweep": dict(
+        code="wifi648",
+        link=dict(modulation="qpsk", bp_iterations=20,
+                  bp_method="sum-product", clamp=None, ofdm_size=32),
+        sweep=dict(snrdb=tuple(np.linspace(0, 6, 13).tolist()),
+                   batch_cw=4096, target_frame_errors=100),
+    ),
+    # 3: quantized min-sum decoder message-quantization grid
+    "quantized-minsum": dict(
+        code="wifi648",
+        link=dict(modulation="qpsk", bp_iterations=20, bp_method="min-sum",
+                  clamp=None, ofdm_size=32),
+        sweep=dict(snrdb=tuple(np.linspace(0, 6, 7).tolist()),
+                   batch_cw=4096, target_frame_errors=100),
+        msg_qbits_grid=(3, 4, 5),
+    ),
+    # 4: OFDM end-to-end 64-subcarrier QAM-16 chain
+    "ofdm-qam16": dict(
+        code="wifi1944",
+        link=dict(modulation="qam16", bp_iterations=20,
+                  bp_method="min-sum", clamp=None, ofdm_size=64),
+        sweep=dict(snrdb=tuple(np.linspace(4, 12, 9).tolist()),
+                   batch_cw=4096, target_frame_errors=100),
+    ),
+    # 5: the reference chain (64,32) for BER parity studies
+    "reference": dict(
+        code="ref6432",
+        link=dict(modulation="qpsk", bp_iterations=3,
+                  bp_method="sum-product-ref", clamp=20.0, ofdm_size=32),
+        sweep=dict(snrdb=tuple(float(s) for s in range(11)),
+                   batch_cw=4096, target_frame_errors=100),
+    ),
+}
+
+
+def _parse_snr(spec: str) -> tuple[float, ...]:
+    """'0:10:11' → linspace(0, 10, 11); '1,2,3' → those points."""
+    if ":" in spec:
+        lo, hi, n = spec.split(":")
+        return tuple(np.linspace(float(lo), float(hi), int(n)).tolist())
+    return tuple(float(s) for s in spec.split(","))
+
+
+def _link_cfg_from_args(args, **over) -> LinkConfig:
+    fields = dict(
+        modulation=args.modulation,
+        ofdm_size=args.ofdm_size,
+        bp_iterations=args.iters,
+        bp_method=args.method,
+        clamp=args.clamp if args.clamp > 0 else None,
+        qbits=args.qbits if args.qbits > 0 else None,
+        clip_ratio=10 ** (args.clipdb / 10.0),
+        agc=args.agc,
+        early_stop=args.early_stop,
+    )
+    fields.update(over)
+    return LinkConfig(**fields)
+
+
+def cmd_sweep(args) -> None:
+    from ldpc_sims_tpu.parallel import SweepConfig, run_sweep
+    from ldpc_sims_tpu.plotting import plot_ber_curves
+
+    if args.preset:
+        p = PRESETS[args.preset]
+        code = get_code(p["code"])
+        link = LinkConfig(**p["link"])
+        sweep = SweepConfig(**p["sweep"])
+        grids = p.get("msg_qbits_grid", (None,))
+    else:
+        code = get_code(args.code)
+        link = _link_cfg_from_args(args)
+        sweep = SweepConfig(
+            snrdb=_parse_snr(args.snr), batch_cw=args.batch,
+            target_frame_errors=args.target_errors,
+            max_info_bits=args.max_bits,
+        )
+        grids = (args.msg_qbits if args.msg_qbits > 0 else None,)
+
+    os.makedirs(args.out, exist_ok=True)
+    stamp = time.strftime("%Y%m%d-%H%M%S")
+    for qb in grids:
+        link_q = dataclasses.replace(link, msg_qbits=qb)
+        tag = f"_msgq{qb}" if qb else ""
+        manifest = os.path.join(args.out, f"{stamp}_sweep{tag}.json")
+        result = run_sweep(code, link_q, sweep, manifest_path=manifest)
+        out = {
+            "code": code.name,
+            "link": dataclasses.asdict(link_q),
+            **result.as_dict(),
+        }
+        path = os.path.join(args.out, f"{stamp}_curves{tag}.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"curves -> {path}")
+        if args.plot:
+            fig = plot_ber_curves(
+                {"snrdb": result.snrdb, "coded_ber": result.coded_ber,
+                 "coded_bler": result.coded_bler,
+                 "uncoded_ber": result.uncoded_ber},
+                os.path.join(args.out, f"{stamp}_ber{tag}.png"),
+                title=f"{code.name}{tag}",
+            )
+            print(f"figure -> {fig}")
+
+
+def cmd_train_llr(args) -> None:
+    from ldpc_sims_tpu.models import (
+        LLRestimator,
+        LLRestimatorTanh,
+        LLRestimatorWithSNR,
+    )
+    from ldpc_sims_tpu.training import TrainConfig, make_llr_dataset, train_llr
+    from ldpc_sims_tpu.utils import load_checkpoint
+
+    code = get_code(args.code)
+    snr_cond = args.snr_high > args.snr_low
+    link = _link_cfg_from_args(
+        args, bp_iterations=1,
+        snr_per_symbol=snr_cond, snrdb_low=args.snr_low,
+        snrdb_high=args.snr_high,
+    )
+    x, y = make_llr_dataset(
+        jax.random.key(args.seed), code, link, args.num_codewords,
+        snrdb=args.snrdb, with_snr_feature=snr_cond,
+        tanh_targets=args.tanh,
+    )
+    if args.tanh:
+        model = LLRestimatorTanh(args.ofdm_size)
+    elif snr_cond:
+        model = LLRestimatorWithSNR(args.ofdm_size)
+    else:
+        model = LLRestimator(args.ofdm_size)
+    tc = TrainConfig(
+        learning_rate=args.lr, num_epochs=args.epochs,
+        batch_size=args.batch, seed=args.seed,
+    )
+    init = None
+    if args.warm_start:
+        params0 = model.init(jax.random.key(0), jnp.asarray(x[:2]))
+        init, _ = load_checkpoint(args.warm_start, {"params": params0,
+                                                    "opt_state": None})
+        init = init["params"]
+    stamp = time.strftime("%Y%m%d-%H%M%S")
+    ckpt = os.path.join(
+        args.out, "model",
+        f"{stamp}_llr_qbits={args.qbits}_clipdb={args.clipdb}"
+        f"_snr={args.snr_low}-{args.snr_high}_lr={args.lr}",
+    )
+    train_llr(
+        model, x, y, tc, init_params=init, ckpt_dir=ckpt,
+        manifest={
+            "model": type(model).__name__, "code": code.name,
+            "qbits": args.qbits, "clipdb": args.clipdb,
+            "snrdb": args.snrdb, "snr_low": args.snr_low,
+            "snr_high": args.snr_high, "tanh": args.tanh,
+        },
+    )
+    print(f"checkpoint -> {ckpt}")
+
+
+def cmd_train_joint(args) -> None:
+    from ldpc_sims_tpu.models import Joint
+    from ldpc_sims_tpu.training import (
+        TrainConfig,
+        make_joint_dataset,
+        train_joint,
+    )
+
+    code = get_code(args.code)
+    link = _link_cfg_from_args(args, bp_iterations=1)
+    x, bits = make_joint_dataset(
+        jax.random.key(args.seed), code, link, args.num_codewords,
+        snrdb=args.snrdb,
+    )
+    model = Joint(code_name=args.code, ofdm_size=args.ofdm_size,
+                  iterations=args.iters, clamp=args.clamp)
+    tc = TrainConfig(learning_rate=args.lr, num_epochs=args.epochs,
+                     batch_size=args.batch, seed=args.seed)
+    stamp = time.strftime("%Y%m%d-%H%M%S")
+    ckpt = os.path.join(args.out, "model", f"{stamp}_joint_snr={args.snrdb}")
+    train_joint(model, x, bits, tc, ckpt_dir=ckpt,
+                manifest={"model": "Joint", "code": code.name,
+                          "snrdb": args.snrdb})
+    print(f"checkpoint -> {ckpt}")
+
+
+def cmd_evaluate(args) -> None:
+    from ldpc_sims_tpu.evaluate import EvalConfig, evaluate_sweep
+    from ldpc_sims_tpu.models import (
+        LLRestimator,
+        LLRestimatorTanh,
+        LLRestimatorWithSNR,
+    )
+    from ldpc_sims_tpu.plotting import plot_ber_curves, plot_wmse
+    from ldpc_sims_tpu.utils import load_checkpoint
+
+    code = get_code(args.code)
+    link = _link_cfg_from_args(args)
+    model = params = None
+    snr_feature = tanh = False
+    if args.ckpt:
+        with open(os.path.join(args.ckpt, "manifest.json")) as f:
+            mani = json.load(f)
+        name = mani.get("model", "LLRestimator")
+        cls = {
+            "LLRestimator": LLRestimator,
+            "LLRestimatorWithSNR": LLRestimatorWithSNR,
+            "LLRestimatorTanh": LLRestimatorTanh,
+        }[name]
+        model = cls(args.ofdm_size)
+        snr_feature = name != "LLRestimator"
+        tanh = name == "LLRestimatorTanh"
+        feat = 2 * args.ofdm_size + (1 if snr_feature else 0)
+        template = model.init(
+            jax.random.key(0), jnp.zeros((2, feat), jnp.float32)
+        )
+        tree, _ = load_checkpoint(args.ckpt, {"params": template,
+                                              "opt_state": None})
+        params = tree["params"]
+    ec = EvalConfig(
+        snrdb=_parse_snr(args.snr), num_codewords=args.batch,
+        with_snr_feature=snr_feature, tanh_model=tanh, seed=args.seed,
+    )
+    curves = evaluate_sweep(code, link, ec, model=model, params=params)
+    os.makedirs(args.out, exist_ok=True)
+    stamp = time.strftime("%Y%m%d-%H%M%S")
+    path = os.path.join(args.out, f"{stamp}_eval.json")
+    with open(path, "w") as f:
+        json.dump({"code": code.name, **curves}, f, indent=1)
+    print(f"curves -> {path}")
+    if args.plot:
+        print("figure ->",
+              plot_ber_curves(curves,
+                              os.path.join(args.out, f"{stamp}_ber.png")))
+        if "wmse_nn" in curves or "wmse_qllr" in curves:
+            print("figure ->",
+                  plot_wmse(curves,
+                            os.path.join(args.out, f"{stamp}_wmse.png")))
+
+
+def cmd_generate_data(args) -> None:
+    """TX/dataset generation to .npz (generate_data.py successor)."""
+    from ldpc_sims_tpu.training import make_llr_dataset
+
+    code = get_code(args.code)
+    link = _link_cfg_from_args(args, bp_iterations=1)
+    x, y = make_llr_dataset(
+        jax.random.key(args.seed), code, link, args.num_codewords,
+        snrdb=args.snrdb,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    stamp = time.strftime("%Y%m%d-%H%M%S")
+    path = os.path.join(args.out, f"{stamp}_data.npz")
+    np.savez_compressed(path, input_samples=x, output_samples=y)
+    print(f"dataset -> {path}  x{x.shape} y{y.shape}")
+
+
+def _add_common(sp: argparse.ArgumentParser) -> None:
+    sp.add_argument("--code", default="ref6432")
+    sp.add_argument("--modulation", default="qpsk",
+                    choices=["bpsk", "qpsk", "qam16"])
+    sp.add_argument("--ofdm-size", type=int, default=32)
+    sp.add_argument("--iters", type=int, default=3)
+    sp.add_argument("--method", default="sum-product-ref",
+                    choices=["min-sum", "sum-product", "sum-product-ref"])
+    sp.add_argument("--clamp", type=float, default=20.0,
+                    help="<=0 disables clamping")
+    sp.add_argument("--qbits", type=int, default=0,
+                    help="ADC quantizer bits (0 = ideal ADC)")
+    sp.add_argument("--clipdb", type=float, default=0.0)
+    sp.add_argument("--agc", default="global",
+                    choices=["global", "per-symbol"])
+    sp.add_argument("--early-stop", action="store_true")
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--out", default="outputs")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="ldpc_sims_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("sweep", help="Monte-Carlo BER/BLER sweep")
+    _add_common(sp)
+    sp.add_argument("--preset", choices=sorted(PRESETS))
+    sp.add_argument("--snr", default="0:10:11")
+    sp.add_argument("--batch", type=int, default=4096)
+    sp.add_argument("--target-errors", type=int, default=100)
+    sp.add_argument("--max-bits", type=float, default=1e8)
+    sp.add_argument("--msg-qbits", type=int, default=0)
+    sp.add_argument("--plot", action="store_true")
+    sp.set_defaults(fn=cmd_sweep)
+
+    sp = sub.add_parser("train-llr", help="train an LLR estimator")
+    _add_common(sp)
+    sp.add_argument("--snrdb", type=float, default=5.0)
+    sp.add_argument("--snr-low", type=float, default=0.0)
+    sp.add_argument("--snr-high", type=float, default=0.0)
+    sp.add_argument("--tanh", action="store_true")
+    sp.add_argument("--lr", type=float, default=0.01)
+    sp.add_argument("--epochs", type=int, default=100)
+    sp.add_argument("--batch", type=int, default=4096)
+    sp.add_argument("--num-codewords", type=int, default=4096)
+    sp.add_argument("--warm-start", default="")
+    sp.set_defaults(fn=cmd_train_llr)
+
+    sp = sub.add_parser("train-joint", help="train the joint model")
+    _add_common(sp)
+    sp.add_argument("--snrdb", type=float, default=5.0)
+    sp.add_argument("--lr", type=float, default=0.001)
+    sp.add_argument("--epochs", type=int, default=50)
+    sp.add_argument("--batch", type=int, default=4096)
+    sp.add_argument("--num-codewords", type=int, default=4096)
+    sp.set_defaults(fn=cmd_train_joint)
+
+    sp = sub.add_parser("evaluate", help="evaluate curves (opt. with NN)")
+    _add_common(sp)
+    sp.add_argument("--ckpt", default="")
+    sp.add_argument("--snr", default="0:10:11")
+    sp.add_argument("--batch", type=int, default=4096)
+    sp.add_argument("--plot", action="store_true")
+    sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("generate-data", help="write a dataset .npz")
+    _add_common(sp)
+    sp.add_argument("--snrdb", type=float, default=5.0)
+    sp.add_argument("--num-codewords", type=int, default=4096)
+    sp.set_defaults(fn=cmd_generate_data)
+
+    return ap
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

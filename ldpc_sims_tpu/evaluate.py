@@ -1,0 +1,162 @@
+"""BER/BLER/WMSE evaluation sweeps, including the learned receivers.
+
+The jitted successor of the reference's evaluator family
+(``evaluate_snr.py``, ``evaluate_quantized_snr.py``, ``evaluate.py``,
+``evaluate_quantized*.py`` — one mostly-copy-pasted script each): one
+call sweeps the SNR grid computing, per point,
+
+* uncoded BER (hard decisions on analytic LLRs),
+* "Traditional" coded BER/BLER — BP on analytic LLRs
+  (``evaluate_snr.py:121-133``),
+* NN coded BER/BLER — BP on the neural LLR estimates (``:122-127``),
+* quantized coded BER/BLER — BP on LLRs computed from the quantized
+  signal (``evaluate_quantized_snr.py:100-133``),
+* weighted MSE of the NN LLRs vs analytic LLRs (``:113``),
+
+with every per-point compute fused into one XLA program and the
+statistical control (the Traditional curve) always produced alongside the
+learned curves on the *same* bits — the reference's own self-validation
+strategy (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ldpc_sims_tpu.codes.library import LdpcCode
+from ldpc_sims_tpu.ops.bp import bp_decode
+from ldpc_sims_tpu.ops.chain import LinkConfig, link_step
+from ldpc_sims_tpu.ops.phy import weighted_mse
+
+__all__ = ["EvalConfig", "evaluate_sweep"]
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    snrdb: tuple[float, ...] = tuple(float(s) for s in range(0, 11))
+    num_codewords: int = 4096
+    batches: int = 1
+    with_snr_feature: bool = False
+    tanh_model: bool = False  # model outputs tanh(llr): invert via atanh
+    seed: int = 0
+
+
+def _nn_llrs(model, params, x, tanh_model: bool) -> jnp.ndarray:
+    est = model.apply(params, x)
+    if tanh_model:
+        # invert the tanh squashing (evaluate_quantized_tanh.py:157)
+        est = jnp.clip(est, -1 + 1e-7, 1 - 1e-7)
+        est = 0.5 * jnp.log((1 + est) / (1 - est))
+    return est
+
+
+def evaluate_sweep(
+    code: LdpcCode,
+    link_cfg: LinkConfig,
+    eval_cfg: EvalConfig,
+    model=None,
+    params: Any | None = None,
+    log: Callable[[str], None] | None = print,
+) -> dict[str, list]:
+    """Run the evaluation sweep; returns curves as plain lists (JSON-able).
+
+    With ``model=None`` only the Traditional (and quantized, if
+    ``link_cfg.qbits``) curves are produced — the ``ber_test.py`` classic
+    sweep. With a model, adds the NN curves and WMSE.
+    """
+    k = code.k
+
+    def point_step(key, snrdb):
+        out = link_step(
+            key, snrdb, code, link_cfg, eval_cfg.num_codewords,
+            return_arrays=True,
+        )
+        coded = out["coded"]
+        res = {
+            "uncoded_errs": out["uncoded_bit_errors"],
+            "frames": out["frames"],
+        }
+
+        def decode_count(llrs, tag):
+            bits = bp_decode(
+                llrs, code, iterations=link_cfg.bp_iterations,
+                method=link_cfg.bp_method, clamp=link_cfg.clamp,
+                alpha=link_cfg.alpha, beta=link_cfg.beta,
+                msg_qbits=link_cfg.msg_qbits, msg_qclip=link_cfg.msg_qclip,
+            )
+            err = jnp.sum(
+                (bits[:, :k] != coded[:, :k]).astype(jnp.int32), axis=1
+            )
+            res[f"coded_errs_{tag}"] = jnp.sum(err)
+            res[f"frame_errs_{tag}"] = jnp.sum((err > 0).astype(jnp.int32))
+
+        decode_count(out["llrs"], "trad")
+        if link_cfg.qbits is not None:
+            decode_count(out["qllrs"], "quant")
+            wmse_q = weighted_mse(
+                out["qllrs"].reshape(-1), out["llrs"].reshape(-1), 0.001
+            )
+            res["wmse_quant"] = wmse_q
+        if model is not None:
+            sig = out["q_time"] if link_cfg.qbits is not None else (
+                out["rx_time"]
+            )
+            flat = sig.reshape(-1, sig.shape[-1])
+            x = jnp.concatenate([jnp.real(flat), jnp.imag(flat)], axis=1)
+            if eval_cfg.with_snr_feature:
+                x = jnp.concatenate(
+                    [x, out["snr_sym"].reshape(-1, 1)], axis=1
+                )
+            est_sym = _nn_llrs(model, params, x, eval_cfg.tanh_model)
+            res["wmse_nn"] = weighted_mse(
+                est_sym.reshape(-1), out["llrs"].reshape(-1), 0.001
+            )
+            decode_count(est_sym.reshape(-1, code.n), "nn")
+        return res
+
+    step = jax.jit(point_step)
+    master = jax.random.key(eval_cfg.seed)
+
+    curves: dict[str, list] = {"snrdb": list(eval_cfg.snrdb)}
+    n_cw = eval_cfg.num_codewords * eval_cfg.batches
+    n_unc = n_cw * code.n
+    n_info = n_cw * k
+
+    for i, snrdb in enumerate(eval_cfg.snrdb):
+        acc: dict[str, float] = {}
+        for b in range(eval_cfg.batches):
+            key = jax.random.fold_in(jax.random.fold_in(master, i), b)
+            res = step(key, jnp.asarray(snrdb, jnp.float32))
+            for kk, v in res.items():
+                acc[kk] = acc.get(kk, 0.0) + float(v)
+
+        def put(name, val):
+            curves.setdefault(name, []).append(val)
+
+        put("uncoded_ber", acc["uncoded_errs"] / n_unc)
+        put("coded_ber", acc["coded_errs_trad"] / n_info)
+        put("coded_bler", acc["frame_errs_trad"] / n_cw)
+        if "coded_errs_quant" in acc:
+            put("coded_ber_qllr", acc["coded_errs_quant"] / n_info)
+            put("coded_bler_qllr", acc["frame_errs_quant"] / n_cw)
+            put("wmse_qllr", acc["wmse_quant"] / eval_cfg.batches)
+        if "coded_errs_nn" in acc:
+            put("coded_ber_nn", acc["coded_errs_nn"] / n_info)
+            put("coded_bler_nn", acc["frame_errs_nn"] / n_cw)
+            put("wmse_nn", acc["wmse_nn"] / eval_cfg.batches)
+        if log:
+            nn = (
+                f"  nn={curves['coded_ber_nn'][-1]:.3e}"
+                if "coded_ber_nn" in curves
+                else ""
+            )
+            log(
+                f"snr={snrdb:5.2f}  uncoded={curves['uncoded_ber'][-1]:.3e}"
+                f"  coded={curves['coded_ber'][-1]:.3e}{nn}"
+            )
+    return curves

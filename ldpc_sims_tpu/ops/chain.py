@@ -220,6 +220,9 @@ def link_step(
         out["llrs"] = llrs
         out["coded"] = coded
         out["rx_time"] = rx_time
+        out["snr_sym"] = jnp.broadcast_to(snr, (rows, n_ofdm)) if not (
+            cfg.snr_per_symbol
+        ) else snr
         if cfg.qbits is not None:
             out["q_time"] = q_time
     return out

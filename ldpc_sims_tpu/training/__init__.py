@@ -1,0 +1,12 @@
+"""Training recipes and dataset builders for the learned receivers."""
+
+from ldpc_sims_tpu.training.data import (  # noqa: F401
+    make_joint_dataset,
+    make_llr_dataset,
+)
+from ldpc_sims_tpu.training.trainer import (  # noqa: F401
+    TrainConfig,
+    train_joint,
+    train_llr,
+    train_neural_bp,
+)

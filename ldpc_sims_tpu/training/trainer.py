@@ -1,0 +1,321 @@
+"""Training recipes for the neural LLR estimators and the joint model.
+
+Optax/JAX re-design of the four near-duplicate reference trainers
+(``ofdm/ofdm_nn.py:14-520``). What the reference does with per-batch
+host→GPU copies and four copy-pasted epoch loops is here ONE jitted
+train step per recipe plus a shared loop:
+
+* SGD (the reference's choice, ``ofdm/ofdm_nn.py:35``),
+* weighted-MSE loss with ε = 1e-3 (``:70``; the reference writes
+  ``10e-4``),
+* per-epoch permutation shuffle (``:53-56``),
+* every-10-epochs eval on a random 2¹⁰ subset with the flipped-sign
+  diagnostics (``:86-108``),
+* warm start from a checkpoint (``load_model`` argument, ``:40-45``),
+* checkpoint save with metadata manifest (replacing the
+  hyperparameters-in-filename scheme, ``:118-130``).
+
+``train_joint`` replicates the joint recipe (``ofdm/ofdm_nn.py:257-396``):
+BCE on decoded soft bits vs transmitted bits, a 2-group optimizer with
+5× learning rate on the LLR net (``:284-287``), gradient accumulation
+over minibatches (``:263-264,322-349``), and warm-starting the LLR
+subtree from an LLR-only checkpoint — the clean equivalent of the
+reference's state-dict key rewriting (``:297-309``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ldpc_sims_tpu.ops.phy import weighted_mse
+from ldpc_sims_tpu.utils.checkpoint import save_checkpoint
+
+__all__ = ["TrainConfig", "train_llr", "train_joint", "train_neural_bp"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 0.01
+    num_epochs: int = 100
+    batch_size: int = 4096
+    eval_every: int = 10
+    eval_samples: int = 1024
+    epsilon: float = 1e-3
+    seed: int = 0
+    # joint-recipe extras
+    minibatch_size: int = 512  # grad-accumulation chunk (2^9, ofdm_nn:263)
+    llr_lr_multiplier: float = 5.0  # ofdm_nn.py:284-287
+
+
+def _flipped_stats(y_est: np.ndarray, y: np.ndarray) -> dict[str, float]:
+    """The reference's sign-flip diagnostics (``ofdm/ofdm_nn.py:96-106``)."""
+    flips = np.abs(np.sign(y_est) - np.sign(y))
+    num_flipped = float(np.mean(flips))
+    vals = np.abs(y[flips != 0])
+    if vals.size == 0:
+        return {"flipped_ber": 0.0}
+    return {
+        "flipped_ber": num_flipped,
+        "flipped_mean": float(vals.mean()),
+        "flipped_median": float(np.median(vals)),
+        "flipped_max": float(vals.max()),
+    }
+
+
+def train_llr(
+    model,
+    input_samples: np.ndarray,
+    output_samples: np.ndarray,
+    cfg: TrainConfig,
+    init_params: Any | None = None,
+    ckpt_dir: str | None = None,
+    manifest: dict | None = None,
+    log: Callable[[str], None] | None = print,
+):
+    """Train an LLR estimator with weighted MSE (train_nn /
+    train_nn_withSNR / train_nn_tanh depending on model + targets).
+
+    Returns (params, info) where info holds the loss history.
+    """
+    num_samples = input_samples.shape[0]
+    num_batches = max(num_samples // cfg.batch_size, 1)
+    rng = np.random.default_rng(cfg.seed)
+
+    params = init_params or model.init(
+        jax.random.key(cfg.seed), jnp.asarray(input_samples[:2])
+    )
+    opt = optax.sgd(cfg.learning_rate)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            return weighted_mse(model.apply(p, x), y, cfg.epsilon)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def evaluate(params, x, y):
+        est = model.apply(params, x)
+        return est, weighted_mse(est, y, cfg.epsilon)
+
+    train_loss = np.zeros(cfg.num_epochs)
+    t0 = time.perf_counter()
+    for epoch in range(cfg.num_epochs):
+        p = rng.permutation(num_samples)
+        xs, ys = input_samples[p], output_samples[p]
+        for b in range(num_batches):
+            sl = slice(b * cfg.batch_size, (b + 1) * cfg.batch_size)
+            params, opt_state, loss = step(
+                params, opt_state, jnp.asarray(xs[sl]), jnp.asarray(ys[sl])
+            )
+            train_loss[epoch] += float(loss) / num_batches
+        if epoch % cfg.eval_every == 0:
+            idx = rng.choice(
+                num_samples, min(cfg.eval_samples, num_samples),
+                replace=False,
+            )
+            est, test_loss = evaluate(
+                params, jnp.asarray(input_samples[idx]),
+                jnp.asarray(output_samples[idx]),
+            )
+            stats = _flipped_stats(np.asarray(est), output_samples[idx])
+            if log:
+                log(
+                    f"[epoch {epoch + 1}] train_loss: "
+                    f"{train_loss[epoch]:.3f}, test_loss: "
+                    f"{float(test_loss):.3f}, flipped_ber: "
+                    f"{stats['flipped_ber']:.3f}"
+                )
+
+    info = {
+        "train_loss": train_loss,
+        "wall_s": time.perf_counter() - t0,
+        "epochs": cfg.num_epochs,
+    }
+    if ckpt_dir:
+        save_checkpoint(
+            ckpt_dir,
+            {"params": params, "opt_state": opt_state},
+            {**(manifest or {}), **{k: v for k, v in info.items()},
+             "config": dataclasses.asdict(cfg)},
+        )
+    return params, info
+
+
+def train_joint(
+    model,
+    input_samples: np.ndarray,
+    target_bits: np.ndarray,
+    cfg: TrainConfig,
+    init_params: Any | None = None,
+    llr_warm_start: Any | None = None,
+    ckpt_dir: str | None = None,
+    manifest: dict | None = None,
+    log: Callable[[str], None] | None = print,
+):
+    """Joint (LLR-net → BP) end-to-end training with BCE on info bits.
+
+    ``llr_warm_start``: params of a pre-trained LLR estimator; grafted
+    into the Joint param tree under 'LLRest' (the reference rewrites
+    state-dict keys for the same purpose, ``ofdm/ofdm_nn.py:297-309``).
+    """
+    num_samples = input_samples.shape[0]
+    sym_per_cw = num_samples // target_bits.shape[0]
+    cw_per_minibatch = max(cfg.minibatch_size // sym_per_cw, 1)
+    mb_sym = cw_per_minibatch * sym_per_cw
+
+    params = init_params or model.init(
+        jax.random.key(cfg.seed), jnp.asarray(input_samples[:mb_sym])
+    )
+    if llr_warm_start is not None:
+        params = {
+            "params": {**params["params"], "LLRest": llr_warm_start["params"]}
+        }
+
+    # 2-group optimizer: 5×lr on the LLR net, 1×lr on the BP weights
+    def label_fn(tree):
+        return {
+            "params": {
+                k: ("llr" if k == "LLRest" else "bp")
+                for k in tree["params"]
+            }
+        }
+
+    opt = optax.multi_transform(
+        {
+            "llr": optax.sgd(cfg.learning_rate * cfg.llr_lr_multiplier),
+            "bp": optax.sgd(cfg.learning_rate),
+        },
+        label_fn,
+    )
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def grad_minibatch(params, x, bits):
+        def loss_fn(p):
+            p1 = model.apply(p, x)
+            eps = 1e-7
+            b = bits.astype(jnp.float32)
+            return -jnp.mean(
+                b * jnp.log(p1 + eps) + (1 - b) * jnp.log(1 - p1 + eps)
+            )
+
+        return jax.value_and_grad(loss_fn)(params)
+
+    @jax.jit
+    def apply_grads(params, opt_state, grads):
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state
+
+    rng = np.random.default_rng(cfg.seed)
+    num_cw = target_bits.shape[0]
+    bs_cw = max(cfg.batch_size // sym_per_cw, cw_per_minibatch)
+    num_batches = max(num_cw // bs_cw, 1)
+    train_loss = np.zeros(cfg.num_epochs)
+
+    for epoch in range(cfg.num_epochs):
+        perm = rng.permutation(num_cw)
+        for b in range(num_batches):
+            cw_idx = perm[b * bs_cw : (b + 1) * bs_cw]
+            grads_acc = None
+            n_mb = max(len(cw_idx) // cw_per_minibatch, 1)
+            for mb in range(n_mb):  # gradient accumulation (ofdm_nn:322-349)
+                idx = cw_idx[
+                    mb * cw_per_minibatch : (mb + 1) * cw_per_minibatch
+                ]
+                sym_idx = (
+                    idx[:, None] * sym_per_cw + np.arange(sym_per_cw)
+                ).reshape(-1)
+                loss, grads = grad_minibatch(
+                    params,
+                    jnp.asarray(input_samples[sym_idx]),
+                    jnp.asarray(target_bits[idx]),
+                )
+                train_loss[epoch] += float(loss) / (num_batches * n_mb)
+                grads_acc = (
+                    grads
+                    if grads_acc is None
+                    else jax.tree.map(jnp.add, grads_acc, grads)
+                )
+            grads_acc = jax.tree.map(lambda g: g / n_mb, grads_acc)
+            params, opt_state = apply_grads(params, opt_state, grads_acc)
+        if log and epoch % cfg.eval_every == 0:
+            log(f"[epoch {epoch + 1}] joint train_loss: "
+                f"{train_loss[epoch]:.4f}")
+
+    if ckpt_dir:
+        save_checkpoint(
+            ckpt_dir,
+            {"params": params, "opt_state": opt_state},
+            {**(manifest or {}), "train_loss": train_loss,
+             "config": dataclasses.asdict(cfg)},
+        )
+    return params, {"train_loss": train_loss}
+
+
+def train_neural_bp(
+    code,
+    llrs: np.ndarray,
+    target_bits: np.ndarray,
+    cfg: TrainConfig,
+    iterations: int = 5,
+    method: str = "sum-product",
+    clamp: float = 20.0,
+    init_weights: Any | None = None,
+    ckpt_dir: str | None = None,
+    log: Callable[[str], None] | None = print,
+):
+    """Train per-edge neural-BP weights alone (decoder-only learning —
+    the capability of the reference's trainable VC layers without the
+    LLR net; Nachmani et al. 2016 style)."""
+    from ldpc_sims_tpu.ops.bp import bp_decode, init_neural_bp_weights
+
+    weights = init_weights or init_neural_bp_weights(code, iterations)
+    opt = optax.adam(cfg.learning_rate)
+    opt_state = opt.init(weights)
+
+    @jax.jit
+    def step(weights, opt_state, llr, bits):
+        def loss_fn(w):
+            p1 = bp_decode(
+                llr, code, iterations=iterations, method=method,
+                clamp=clamp, weights=w, output="soft",
+            )
+            eps = 1e-7
+            b = bits.astype(jnp.float32)
+            return -jnp.mean(
+                b * jnp.log(p1 + eps) + (1 - b) * jnp.log(1 - p1 + eps)
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(weights)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(weights, updates), opt_state, loss
+
+    rng = np.random.default_rng(cfg.seed)
+    n = llrs.shape[0]
+    num_batches = max(n // cfg.batch_size, 1)
+    losses = []
+    for epoch in range(cfg.num_epochs):
+        perm = rng.permutation(n)
+        for b in range(num_batches):
+            idx = perm[b * cfg.batch_size : (b + 1) * cfg.batch_size]
+            weights, opt_state, loss = step(
+                weights, opt_state, jnp.asarray(llrs[idx]),
+                jnp.asarray(target_bits[idx]),
+            )
+            losses.append(float(loss))
+        if log and epoch % cfg.eval_every == 0:
+            log(f"[epoch {epoch + 1}] neural-BP loss: {losses[-1]:.4f}")
+    if ckpt_dir:
+        save_checkpoint(ckpt_dir, weights, {"loss": losses})
+    return weights, {"loss": losses}

@@ -1,0 +1,12 @@
+"""Utilities: checkpoints, metrics, configs."""
+
+from ldpc_sims_tpu.utils.checkpoint import (  # noqa: F401
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from ldpc_sims_tpu.utils.metrics import (  # noqa: F401
+    MetricsLogger,
+    PhaseTimer,
+    profile_trace,
+)

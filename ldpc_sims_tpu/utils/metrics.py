@@ -1,0 +1,76 @@
+"""Structured metrics: JSONL logging + simple phase timers.
+
+The reference's observability is bare ``print`` lines
+(``ofdm/ofdm_nn.py:108``, ``evaluate_snr.py:83``) and result pickles.
+Here every metric event is one JSON line (append-only, crash-safe,
+greppable) and hot phases can be timed with :class:`PhaseTimer`;
+``jax.profiler`` tracing hooks in for device-level profiles
+(SURVEY.md §5.1/§5.5).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from typing import Any
+
+import jax
+
+__all__ = ["MetricsLogger", "PhaseTimer", "profile_trace"]
+
+
+class MetricsLogger:
+    """Append-only JSONL metrics sink (pass ``path=None`` for stdout)."""
+
+    def __init__(self, path: str | None):
+        self.path = path
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+
+    def log(self, event: str, **fields: Any) -> None:
+        rec = {"event": event, "t": time.time(), **fields}
+        line = json.dumps(rec, default=float)
+        if self.path:
+            with open(self.path, "a") as f:
+                f.write(line + "\n")
+        else:
+            print(line, flush=True)
+
+
+class PhaseTimer:
+    """Accumulating wall-clock timers per named phase."""
+
+    def __init__(self):
+        self.totals: dict[str, float] = {}
+        self.counts: dict[str, int] = {}
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.totals[name] = self.totals.get(name, 0.0) + dt
+            self.counts[name] = self.counts.get(name, 0) + 1
+
+    def summary(self) -> dict[str, dict[str, float]]:
+        return {
+            k: {"total_s": v, "count": self.counts[k]}
+            for k, v in self.totals.items()
+        }
+
+
+@contextlib.contextmanager
+def profile_trace(log_dir: str | None):
+    """Wrap a region in a jax.profiler trace (no-op if log_dir is None)."""
+    if not log_dir:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

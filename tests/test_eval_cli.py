@@ -1,0 +1,105 @@
+"""Evaluator + CLI smoke tests."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from ldpc_sims_tpu.cli.main import PRESETS, _parse_snr, main
+from ldpc_sims_tpu.codes import reference_6432
+from ldpc_sims_tpu.evaluate import EvalConfig, evaluate_sweep
+from ldpc_sims_tpu.models import LLRestimator
+from ldpc_sims_tpu.ops.chain import LinkConfig
+from ldpc_sims_tpu.plotting import plot_ber_curves
+
+
+def test_parse_snr():
+    assert _parse_snr("0:10:11") == tuple(float(s) for s in range(11))
+    assert _parse_snr("1.5,3") == (1.5, 3.0)
+
+
+def test_presets_complete():
+    # all five benchmark configs of BASELINE.json are present
+    assert set(PRESETS) == {
+        "small-cpu", "wifi648-sweep", "quantized-minsum", "ofdm-qam16",
+        "reference",
+    }
+    for p in PRESETS.values():
+        LinkConfig(**p["link"])  # constructible
+
+
+def test_evaluate_sweep_traditional_and_quant():
+    code = reference_6432()
+    link = LinkConfig(bp_iterations=3, qbits=3)
+    curves = evaluate_sweep(
+        code, link, EvalConfig(snrdb=(2.0, 5.0), num_codewords=1024),
+        log=None,
+    )
+    assert len(curves["coded_ber"]) == 2
+    assert curves["coded_ber"][0] > curves["coded_ber"][1]
+    assert "coded_ber_qllr" in curves
+    # quantized-LLR decode is worse than clean at 5 dB (ref table A)
+    assert curves["coded_ber_qllr"][1] > curves["coded_ber"][1]
+
+
+def test_evaluate_sweep_with_model():
+    code = reference_6432()
+    link = LinkConfig(bp_iterations=2)
+    model = LLRestimator(32)
+    params = model.init(jax.random.key(0), np.zeros((2, 64), np.float32))
+    curves = evaluate_sweep(
+        code, link, EvalConfig(snrdb=(4.0,), num_codewords=256),
+        model=model, params=params, log=None,
+    )
+    assert "coded_ber_nn" in curves and "wmse_nn" in curves
+
+
+def test_cli_sweep_and_data(tmp_path):
+    out = str(tmp_path)
+    main([
+        "sweep", "--code", "ref6432", "--snr", "4", "--batch", "512",
+        "--target-errors", "5", "--max-bits", "50000", "--out", out,
+        "--plot",
+    ])
+    files = os.listdir(out)
+    assert any(f.endswith("_curves.json") for f in files)
+    assert any(f.endswith("_ber.png") for f in files)
+    curves = json.load(open(os.path.join(
+        out, [f for f in files if f.endswith("_curves.json")][0])))
+    assert curves["code"] == "ref6432"
+    main([
+        "generate-data", "--code", "ref6432", "--num-codewords", "64",
+        "--out", out,
+    ])
+    assert any(f.endswith("_data.npz") for f in os.listdir(out))
+
+
+def test_cli_train_and_evaluate_roundtrip(tmp_path):
+    out = str(tmp_path)
+    main([
+        "train-llr", "--code", "ref6432", "--epochs", "2",
+        "--num-codewords", "128", "--batch", "128", "--out", out,
+    ])
+    model_dir = os.path.join(out, "model")
+    ckpt = os.path.join(model_dir, os.listdir(model_dir)[0])
+    main([
+        "evaluate", "--code", "ref6432", "--ckpt", ckpt, "--snr", "5",
+        "--batch", "256", "--out", out,
+    ])
+    evals = [f for f in os.listdir(out) if f.endswith("_eval.json")]
+    assert evals
+    curves = json.load(open(os.path.join(out, evals[0])))
+    assert "coded_ber_nn" in curves
+
+
+def test_plotting_smoke(tmp_path):
+    curves = {
+        "snrdb": [0, 2, 4],
+        "uncoded_ber": [0.1, 0.05, 0.02],
+        "coded_ber": [0.05, 0.01, 1e-3],
+        "coded_bler": [0.5, 0.1, 1e-2],
+    }
+    p = plot_ber_curves(curves, str(tmp_path / "ber.png"))
+    assert os.path.getsize(p) > 1000
