@@ -148,7 +148,7 @@ def reference_6432() -> LdpcCode:
 
 
 def make_regular_ldpc(
-    n: int, m: int, col_deg: int = 3, seed: int = 0
+    n: int, m: int, col_deg: int = 3, seed: int = 0, backend: str = "python"
 ) -> LdpcCode:
     """(n, n-m) regular-column-degree LDPC via progressive edge growth.
 
@@ -159,7 +159,20 @@ def make_regular_ldpc(
     4-cycles while the graph is sparse enough. The reference ships no code
     constructor at all (its one matrix came from an external web tool,
     ``bp/parity.py:1``); this fills the (128,64)-and-friends configs.
+
+    ``backend='native'`` uses the C++ builder
+    (:mod:`ldpc_sims_tpu.native`) — much faster for large n, but a
+    *different* (equally valid) graph for the same seed, since its PRNG
+    differs; the registry codes stay on the Python backend so they are
+    reproducible on any machine.
     """
+    if backend == "native":
+        from ldpc_sims_tpu.native import peg_construct_native
+
+        H = peg_construct_native(n, m, col_deg, seed)
+        if gf2.rank(H) != m:
+            raise ValueError("PEG produced rank-deficient H; change seed")
+        return LdpcCode(name=f"peg{n}_{n - m}", H=H)
     rng = np.random.default_rng(seed)
     adj_v: list[list[int]] = [[] for _ in range(n)]  # var -> checks
     adj_c: list[list[int]] = [[] for _ in range(m)]  # check -> vars

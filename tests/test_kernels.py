@@ -1,0 +1,75 @@
+"""Pallas kernel + native-component tests (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ldpc_sims_tpu.codes import get_code, gf2, make_regular_ldpc
+from ldpc_sims_tpu.kernels import minsum_qc_pallas
+from ldpc_sims_tpu.ops.bp import bp_decode
+
+
+@pytest.mark.parametrize("name", ["wifi648", "wifi1944"])
+def test_pallas_minsum_matches_roll(name, rng):
+    w = get_code(name)
+    llr = jnp.asarray(rng.normal(0, 3, (128, w.n)), jnp.float32)
+    a = np.array(
+        minsum_qc_pallas(llr, w.qc, iterations=5, interpret=True,
+                         output="posterior")
+    )
+    b = np.array(
+        bp_decode(llr, w, iterations=5, method="min-sum", backend="roll",
+                  output="posterior")
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_minsum_normalized(rng):
+    w = get_code("wifi648")
+    llr = jnp.asarray(rng.normal(0, 3, (128, w.n)), jnp.float32)
+    a = np.array(
+        minsum_qc_pallas(llr, w.qc, iterations=3, alpha=0.75,
+                         interpret=True, output="posterior")
+    )
+    b = np.array(
+        bp_decode(llr, w, iterations=3, method="min-sum", alpha=0.75,
+                  backend="roll", output="posterior")
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_decodes_codewords(rng):
+    w = get_code("wifi648")
+    u = rng.integers(0, 2, (128, w.k)).astype(np.uint8)
+    cw = w.encode_np(u)
+    llr = jnp.asarray((2.0 * cw - 1.0) * 3 + rng.normal(0, 1, cw.shape),
+                      jnp.float32)
+    bits = np.array(minsum_qc_pallas(llr, w.qc, iterations=10,
+                                     interpret=True))
+    assert np.mean(bits != cw) < 1e-3
+
+
+def test_pallas_rejects_bad_shapes():
+    w = get_code("wifi648")
+    with pytest.raises(ValueError, match="multiple of tile"):
+        minsum_qc_pallas(jnp.zeros((100, w.n)), w.qc, interpret=True)
+    with pytest.raises(ValueError, match="QC code"):
+        minsum_qc_pallas(jnp.zeros((128, 10)), w.qc, interpret=True)
+
+
+def test_native_peg_matches_invariants():
+    native = pytest.importorskip("ldpc_sims_tpu.native")
+    if not native.native_available():
+        pytest.skip("no g++ toolchain")
+    code = make_regular_ldpc(128, 64, 3, seed=7, backend="native")
+    H = code.H.astype(np.int64)
+    assert (H.sum(axis=0) == 3).all()
+    ov = H.T @ H
+    np.fill_diagonal(ov, 0)
+    assert ov.max() <= 1  # girth > 4
+    assert gf2.rank(code.H) == 64
+    # deterministic given the seed
+    code2 = make_regular_ldpc(128, 64, 3, seed=7, backend="native")
+    np.testing.assert_array_equal(code.H, code2.H)
+    code3 = make_regular_ldpc(128, 64, 3, seed=8, backend="native")
+    assert not np.array_equal(code.H, code3.H)
