@@ -300,6 +300,62 @@ def cmd_generate_data(args) -> None:
     print(f"dataset -> {path}  x{x.shape} y{y.shape}")
 
 
+def cmd_noise_study(args) -> None:
+    from ldpc_sims_tpu.diagnostics import quantization_noise_study
+
+    code = get_code(args.code)
+    records = quantization_noise_study(
+        jax.random.key(args.seed),
+        code,
+        snrdb_grid=_parse_snr(args.snr),
+        qbits_grid=tuple(int(q) for q in args.qbits_grid.split(",")),
+        clip_ratio_grid=tuple(
+            10 ** (float(c) / 10.0) for c in args.clipdb_grid.split(",")
+        ),
+        num_codewords=args.batch,
+        ofdm_size=args.ofdm_size,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    stamp = time.strftime("%Y%m%d-%H%M%S")
+    path = os.path.join(args.out, f"{stamp}_noise_study.json")
+    with open(path, "w") as f:
+        json.dump(records, f, indent=1)
+    for r in records:
+        print(
+            f"snr={r['snrdb']:5.1f} qbits={r['qbits']} "
+            f"clip={r['clip_ratio']:.2f}: std={r['std']:.4f} "
+            f"max|e|={r['max_abs']:.4f}"
+        )
+    print(f"records -> {path}")
+
+
+def cmd_evaluate_joint(args) -> None:
+    from ldpc_sims_tpu.diagnostics import evaluate_joint
+    from ldpc_sims_tpu.models import Joint
+    from ldpc_sims_tpu.utils import load_checkpoint
+
+    code = get_code(args.code)
+    link = _link_cfg_from_args(args)
+    model = Joint(code_name=args.code, ofdm_size=args.ofdm_size,
+                  iterations=args.iters, clamp=args.clamp)
+    feat = 2 * args.ofdm_size
+    template = model.init(jax.random.key(0),
+                          jnp.zeros((2, feat), jnp.float32))
+    tree, _ = load_checkpoint(args.ckpt, {"params": template,
+                                          "opt_state": None})
+    curves = evaluate_joint(
+        model, tree["params"], code, link,
+        snrdb_grid=_parse_snr(args.snr), num_codewords=args.batch,
+        seed=args.seed,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    stamp = time.strftime("%Y%m%d-%H%M%S")
+    path = os.path.join(args.out, f"{stamp}_joint_eval.json")
+    with open(path, "w") as f:
+        json.dump({"code": code.name, **curves}, f, indent=1)
+    print(f"curves -> {path}")
+
+
 def _add_common(sp: argparse.ArgumentParser) -> None:
     sp.add_argument("--code", default="ref6432")
     sp.add_argument("--modulation", default="qpsk",
@@ -364,6 +420,23 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--batch", type=int, default=4096)
     sp.add_argument("--plot", action="store_true")
     sp.set_defaults(fn=cmd_evaluate)
+
+    sp = sub.add_parser("noise-study",
+                        help="quantization-noise statistics grid")
+    _add_common(sp)
+    sp.add_argument("--snr", default="0,5,10")
+    sp.add_argument("--qbits-grid", default="1,3,5")
+    sp.add_argument("--clipdb-grid", default="0")
+    sp.add_argument("--batch", type=int, default=512)
+    sp.set_defaults(fn=cmd_noise_study)
+
+    sp = sub.add_parser("evaluate-joint",
+                        help="joint vs classic vs quantized decode")
+    _add_common(sp)
+    sp.add_argument("--ckpt", required=True)
+    sp.add_argument("--snr", default="0:6:4")
+    sp.add_argument("--batch", type=int, default=1024)
+    sp.set_defaults(fn=cmd_evaluate_joint)
 
     sp = sub.add_parser("generate-data", help="write a dataset .npz")
     _add_common(sp)
