@@ -130,6 +130,10 @@ def link_step(
     tx_time = jnp.fft.ifft(blocks, axis=-1) * jnp.sqrt(
         jnp.asarray(cfg.ofdm_size, jnp.float32)
     )
+    if cfg.cyclic_prefix:
+        # standard OFDM framing (the reference has no CP); the channel
+        # and the ADC see the CP samples, the receiver strips them
+        tx_time = phy.add_cyclic_prefix(tx_time, cfg.cyclic_prefix)
 
     if cfg.snr_per_symbol:
         snrdb_sym = jax.random.uniform(
@@ -147,6 +151,10 @@ def link_step(
     rx_time = phy.awgn(k_chan, tx_time, snr_bc)
 
     def demod_and_llr(time_samples):
+        if cfg.cyclic_prefix:
+            time_samples = phy.remove_cyclic_prefix(
+                time_samples, cfg.cyclic_prefix
+            )
         rx_sym = phy.ofdm_demodulate(time_samples)  # (rows, g·S)
         if cfg.snr_per_symbol:
             snr_sym = _llr_snr_axis(cfg, snr, cfg.ofdm_size)
@@ -217,12 +225,19 @@ def link_step(
         frames=jnp.int32(batch_cw),
     )
     if return_arrays:
+        def strip(t):
+            return (
+                phy.remove_cyclic_prefix(t, cfg.cyclic_prefix)
+                if cfg.cyclic_prefix
+                else t
+            )
+
         out["llrs"] = llrs
         out["coded"] = coded
-        out["rx_time"] = rx_time
+        out["rx_time"] = strip(rx_time)
         out["snr_sym"] = jnp.broadcast_to(snr, (rows, n_ofdm)) if not (
             cfg.snr_per_symbol
         ) else snr
         if cfg.qbits is not None:
-            out["q_time"] = q_time
+            out["q_time"] = strip(q_time)
     return out

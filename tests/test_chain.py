@@ -126,6 +126,19 @@ def test_return_arrays_shapes():
     assert out["coded"].shape == (32, 64)
 
 
+def test_cyclic_prefix_chain():
+    """CP framing: exact decode noiselessly; arrays come back stripped."""
+    code = reference_6432()
+    cfg = LinkConfig(bp_iterations=3, cyclic_prefix=8)
+    out = link_step(jax.random.key(11), jnp.asarray(60.0), code, cfg, 128,
+                    return_arrays=True)
+    assert int(out["coded_bit_errors"]) == 0
+    assert out["rx_time"].shape[-1] == 32  # CP removed from arrays
+    out2 = link_step(jax.random.key(12), jnp.asarray(6.0), code, cfg, 2048)
+    ber = float(out2["coded_bit_errors"]) / float(out2["info_bits"])
+    assert 0 < ber < 2e-3  # same statistics as the CP-free chain
+
+
 def test_larger_code_chain_minsum():
     code = get_code("wifi648")
     cfg = LinkConfig(bp_iterations=10, bp_method="min-sum", clamp=None,
