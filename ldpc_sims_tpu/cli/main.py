@@ -85,6 +85,18 @@ def _parse_snr(spec: str) -> tuple[float, ...]:
     return tuple(float(s) for s in spec.split(","))
 
 
+def _snr_grid(args, code) -> tuple[float, ...]:
+    """SNR grid in symbol-SNR dB; '--snr-unit eb' converts from Eb/N0."""
+    from ldpc_sims_tpu.ops.chain import BITS_PER_SYMBOL
+
+    grid = _parse_snr(args.snr)
+    if getattr(args, "snr_unit", "es") == "eb":
+        bps = BITS_PER_SYMBOL[args.modulation]
+        off = 10.0 * np.log10(code.rate * bps)
+        grid = tuple(float(s) + off for s in grid)
+    return grid
+
+
 def _link_cfg_from_args(args, **over) -> LinkConfig:
     fields = dict(
         modulation=args.modulation,
@@ -115,7 +127,7 @@ def cmd_sweep(args) -> None:
         code = get_code(args.code)
         link = _link_cfg_from_args(args)
         sweep = SweepConfig(
-            snrdb=_parse_snr(args.snr), batch_cw=args.batch,
+            snrdb=_snr_grid(args, code), batch_cw=args.batch,
             target_frame_errors=args.target_errors,
             max_info_bits=args.max_bits,
         )
@@ -263,7 +275,7 @@ def cmd_evaluate(args) -> None:
                                               "opt_state": None})
         params = tree["params"]
     ec = EvalConfig(
-        snrdb=_parse_snr(args.snr), num_codewords=args.batch,
+        snrdb=_snr_grid(args, code), num_codewords=args.batch,
         with_snr_feature=snr_feature, tanh_model=tanh, seed=args.seed,
     )
     curves = evaluate_sweep(code, link, ec, model=model, params=params)
@@ -372,6 +384,8 @@ def _add_common(sp: argparse.ArgumentParser) -> None:
     sp.add_argument("--agc", default="global",
                     choices=["global", "per-symbol"])
     sp.add_argument("--early-stop", action="store_true")
+    sp.add_argument("--snr-unit", default="es", choices=["es", "eb"],
+                    help="interpret --snr as symbol SNR (es) or Eb/N0 (eb)")
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--out", default="outputs")
 

@@ -180,28 +180,48 @@ def _quantize_messages(x: jnp.ndarray, bits: int, clip: float) -> jnp.ndarray:
 
 
 def init_neural_bp_weights(
-    graph: TannerGraph | LdpcCode, iterations: int, dtype=jnp.float32
+    graph: TannerGraph | LdpcCode,
+    iterations: int,
+    flavor: str = "edge",
+    dtype=jnp.float32,
 ) -> dict[str, jnp.ndarray]:
     """All-ones neural-BP weight pytree (= classic BP).
 
-    Nachmani-style parameterization of the reference's trainable decoder
-    (``bp/bp_vc.py:101-107`` gives every VC layer an E×E masked weight
-    matrix and per-variable LLR weights; here: one weight per (iteration,
-    edge) on the c2v message entering the variable update, stored in
-    variable-space ``(n_vars, dv)`` slots, plus per-(iteration, variable)
-    LLR weights — the same per-edge trainable capacity without the dense
-    matrix). The layout is backend-independent (variable slots are
-    check-sorted in every backend).
+    ``flavor='edge'`` (default) — Nachmani-style: one weight per
+    (iteration, edge) on the c2v message entering the variable update,
+    stored in variable-space ``(n_vars, dv)`` slots, plus
+    per-(iteration, variable) LLR weights. Supported by every backend.
+
+    ``flavor='pair'`` — the reference's *full* trainable capacity: its VC
+    layers carry an E×E masked weight matrix (``bp/bp_vc.py:101-107``),
+    i.e. an independent weight for every (outgoing edge, incoming edge)
+    pair sharing a variable. Here that is the compact equivalent
+    ``w_pair`` of shape (iterations, n_vars, dv, dv) — entry
+    [t, v, j, i] scales incoming slot i's message inside outgoing slot
+    j's exclusive sum (the j==i diagonal is structurally ignored, like
+    the reference's mask zeros). Gather backend only.
+
+    The layout is backend-independent (variable slots are check-sorted in
+    every backend).
     """
     if isinstance(graph, LdpcCode):
         graph = graph.graph
     it = iterations
-    return {
-        "w_msg": jnp.ones((it, graph.n_vars, graph.dv), dtype=dtype),
+    w = {
         "w_llr": jnp.ones((it, graph.n_vars), dtype=dtype),
         "w_msg_final": jnp.ones((graph.n_vars, graph.dv), dtype=dtype),
         "w_llr_final": jnp.ones((graph.n_vars,), dtype=dtype),
     }
+    if flavor == "pair":
+        w["w_pair"] = jnp.ones(
+            (it, graph.n_vars, graph.dv, graph.dv), dtype=dtype
+        )
+        w["w_msg"] = jnp.ones((it, graph.n_vars, graph.dv), dtype=dtype)
+    elif flavor == "edge":
+        w["w_msg"] = jnp.ones((it, graph.n_vars, graph.dv), dtype=dtype)
+    else:
+        raise ValueError(f"unknown flavor {flavor!r}")
+    return w
 
 
 def bp_decode(
@@ -249,6 +269,10 @@ def bp_decode(
         raise ValueError(f"unknown method {method!r}")
     if early_stop and weights is not None:
         raise ValueError("early_stop with neural-BP weights is unsupported")
+    if weights is not None and "w_pair" in weights and backend != "gather":
+        if backend != "auto":
+            raise ValueError("pair-flavor weights need backend='gather'")
+        backend = "gather"
 
     qc = code.qc if isinstance(code, LdpcCode) else None
     g = code.graph if isinstance(code, LdpcCode) else code
@@ -349,6 +373,10 @@ def bp_decode(
             vm = _take0(c2v.reshape(m * dc, B), to_var, 0.0)
             return vm.reshape(n, dv, B)
 
+        offdiag = jnp.asarray(
+            1.0 - np.eye(dv, dtype=np.float32)
+        )  # pair weights: j==i structurally excluded (the ref's mask)
+
         def var_to_check(c2v: jnp.ndarray, it) -> jnp.ndarray:
             vm = gather_to_var(c2v)
             if weights is not None:
@@ -356,7 +384,14 @@ def bp_decode(
                 lv = weights["w_llr"][it][:, None] * Lv
             else:
                 lv = Lv
-            if ref_mode:
+            if weights is not None and "w_pair" in weights:
+                # full per-(out-edge, in-edge) capacity of the reference
+                # VC layers (bp/bp_vc.py:16-32): exclusive weighted mix
+                wp = weights["w_pair"][it] * offdiag  # (n, dv, dv)
+                vm_m = jnp.where(v_mask_b, vm, 0.0)
+                ex = jnp.einsum("vji,vib->vjb", wp, vm_m)
+                v2c_v = lv[:, None, :] + ex
+            elif ref_mode:
                 # exact exclusive sum (matches the reference's masked
                 # matmul accumulation up to float reassociation)
                 ex = _exclusive_sum(jnp.where(v_mask_b, vm, 0.0), axis=1)

@@ -47,6 +47,8 @@ __all__ = [
     "agc_per_symbol",
     "weighted_mse",
     "bit_errors",
+    "ebn0db_to_snrdb",
+    "snrdb_to_ebn0db",
     "add_cyclic_prefix",
     "remove_cyclic_prefix",
 ]
@@ -263,6 +265,24 @@ def agc_per_symbol(
 
 
 # --- metrics ------------------------------------------------------------
+
+
+def ebn0db_to_snrdb(
+    ebn0_db: jnp.ndarray, rate: float, bits_per_symbol: int
+) -> jnp.ndarray:
+    """Eb/N0 (dB) → symbol SNR Es/N0 (dB): Es = Eb · rate · bits/symbol.
+
+    The reference works in symbol SNR throughout
+    (``ofdm_functions.py:30-33``); the benchmark targets are stated in
+    Eb/N0, so sweeps accept either unit via this conversion.
+    """
+    return ebn0_db + 10.0 * jnp.log10(rate * bits_per_symbol)
+
+
+def snrdb_to_ebn0db(
+    snrdb: jnp.ndarray, rate: float, bits_per_symbol: int
+) -> jnp.ndarray:
+    return snrdb - 10.0 * jnp.log10(rate * bits_per_symbol)
 
 
 def weighted_mse(

@@ -121,3 +121,45 @@ def test_weighted_gradients_roll(wifi, rng):
     val, grads = jax.value_and_grad(loss)(w)
     assert np.isfinite(float(val))
     assert sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads)) > 0
+
+
+def test_pair_weights_identity_and_grads(rng):
+    """flavor='pair' with all-ones weights == classic BP; grads flow to
+    every pair weight (the reference's full E×E VC capacity)."""
+    import jax
+
+    code = reference_6432()
+    llr = jnp.asarray(rng.normal(0, 3, (4, 64)), jnp.float32)
+    w = init_neural_bp_weights(code, 2, flavor="pair")
+    a = bp_decode(llr, code, iterations=2, method="sum-product",
+                  output="posterior", weights=w)
+    b = bp_decode(llr, code, iterations=2, method="sum-product",
+                  output="posterior", backend="gather")
+    np.testing.assert_allclose(np.array(a), np.array(b), rtol=1e-4,
+                               atol=1e-4)
+
+    def loss(w):
+        p = bp_decode(llr, code, iterations=2, method="sum-product",
+                      output="soft", weights=w)
+        return jnp.mean((p - 0.25) ** 2)
+
+    grads = jax.grad(loss)(w)
+    assert float(jnp.abs(grads["w_pair"]).sum()) > 0
+
+
+def test_pair_weights_require_gather():
+    w648 = get_code("wifi648")
+    w = init_neural_bp_weights(w648, 1, flavor="pair")
+    with pytest.raises(ValueError, match="gather"):
+        bp_decode(jnp.zeros((4, w648.n)), w648, iterations=1, weights=w,
+                  backend="roll")
+
+
+def test_ebn0_conversion():
+    from ldpc_sims_tpu.ops.phy import ebn0db_to_snrdb, snrdb_to_ebn0db
+
+    # rate 1/2 QPSK: Es/N0 == Eb/N0 (0.5 * 2 = 1)
+    assert float(ebn0db_to_snrdb(3.0, 0.5, 2)) == pytest.approx(3.0)
+    # rate 1/2 16-QAM: +3.01 dB
+    assert float(ebn0db_to_snrdb(3.0, 0.5, 4)) == pytest.approx(6.0103, abs=1e-3)
+    assert float(snrdb_to_ebn0db(6.0103, 0.5, 4)) == pytest.approx(3.0, abs=1e-3)
