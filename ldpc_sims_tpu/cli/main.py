@@ -148,6 +148,10 @@ def cmd_sweep(args) -> None:
         path = os.path.join(args.out, f"{stamp}_curves{tag}.json")
         with open(path, "w") as f:
             json.dump(out, f, indent=1)
+        from ldpc_sims_tpu.utils.registry import record_run
+
+        record_run("sweep", args.out, code=code.name, curves=path,
+                   manifest=manifest, msg_qbits=qb)
         print(f"curves -> {path}")
         if args.plot:
             fig = plot_ber_curves(
@@ -212,6 +216,12 @@ def cmd_train_llr(args) -> None:
             "snr_high": args.snr_high, "tanh": args.tanh,
         },
     )
+    from ldpc_sims_tpu.utils.registry import record_run
+
+    record_run("train-llr", args.out, code=code.name, ckpt=ckpt,
+               qbits=args.qbits, clipdb=args.clipdb, snrdb=args.snrdb,
+               snr_low=args.snr_low, snr_high=args.snr_high,
+               warm_start=args.warm_start or None)
     print(f"checkpoint -> {ckpt}")
 
 
@@ -238,6 +248,10 @@ def cmd_train_joint(args) -> None:
     train_joint(model, x, bits, tc, ckpt_dir=ckpt,
                 manifest={"model": "Joint", "code": code.name,
                           "snrdb": args.snrdb})
+    from ldpc_sims_tpu.utils.registry import record_run
+
+    record_run("train-joint", args.out, code=code.name, ckpt=ckpt,
+               snrdb=args.snrdb)
     print(f"checkpoint -> {ckpt}")
 
 
@@ -284,6 +298,12 @@ def cmd_evaluate(args) -> None:
     path = os.path.join(args.out, f"{stamp}_eval.json")
     with open(path, "w") as f:
         json.dump({"code": code.name, **curves}, f, indent=1)
+    from ldpc_sims_tpu.utils.registry import find_runs, record_run
+
+    parents = find_runs(out_dir=args.out, ckpt=args.ckpt) if args.ckpt else []
+    record_run("evaluate", args.out, code=code.name, curves=path,
+               ckpt=args.ckpt or None,
+               parent=parents[-1]["id"] if parents else None)
     print(f"curves -> {path}")
     if args.plot:
         print("figure ->",

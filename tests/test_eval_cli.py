@@ -103,3 +103,31 @@ def test_plotting_smoke(tmp_path):
     }
     p = plot_ber_curves(curves, str(tmp_path / "ber.png"))
     assert os.path.getsize(p) > 1000
+
+
+def test_registry_records_and_chains(tmp_path):
+    from ldpc_sims_tpu.utils.registry import find_runs, load_runs, record_run
+
+    out = str(tmp_path)
+    rid = record_run("train-llr", out, code="ref6432", ckpt="x/y")
+    record_run("evaluate", out, code="ref6432", parent=rid)
+    runs = load_runs(out)
+    assert len(runs) == 2
+    evals = find_runs("evaluate", out)
+    assert evals[0]["parent"] == rid
+    assert find_runs("train-llr", out, ckpt="x/y")
+
+
+def test_cli_writes_registry(tmp_path):
+    import os
+
+    from ldpc_sims_tpu.cli.main import main
+    from ldpc_sims_tpu.utils.registry import find_runs
+
+    out = str(tmp_path)
+    main([
+        "sweep", "--code", "ref6432", "--snr", "4", "--batch", "256",
+        "--target-errors", "2", "--max-bits", "20000", "--out", out,
+    ])
+    runs = find_runs("sweep", out)
+    assert runs and os.path.exists(runs[0]["curves"])
