@@ -1,3 +1,6 @@
 """Pallas TPU kernels for the hot decode path."""
 
-from ldpc_sims_tpu.kernels.minsum_qc import minsum_qc_pallas  # noqa: F401
+from ldpc_sims_tpu.kernels.minsum_qc import (  # noqa: F401
+    bp_qc_pallas,
+    minsum_qc_pallas,
+)

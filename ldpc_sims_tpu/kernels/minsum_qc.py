@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ldpc_sims_tpu.codes.library import QcStructure
 from ldpc_sims_tpu.ops.bp_roll import qc_plan
 
-__all__ = ["minsum_qc_pallas"]
+__all__ = ["minsum_qc_pallas", "bp_qc_pallas"]
 
 _BIG = 1e30
 
@@ -46,7 +46,8 @@ def _roll(x: jnp.ndarray, shift: int) -> jnp.ndarray:
 
 
 def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
-                  beta: float):
+                  beta: float, method: str = "min-sum",
+                  clamp: float | None = None):
     planes, group_c, group_v = qc_plan(qc)
     mb, nb, z = qc.mb, qc.nb, qc.z
     dc_max = max(len(g) for g in group_c)
@@ -105,24 +106,33 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
             v = msg_ref[...]
             a = jnp.abs(v)
             neg = (v < 0).astype(jnp.int32)
-            min1 = jnp.min(a, axis=1, keepdims=True)
-            idx = jnp.argmin(a, axis=1)
-            onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-                == idx[:, None]
-            )
-            min2 = jnp.min(jnp.where(onehot, _BIG, a), axis=1,
-                           keepdims=True)
-            exmin = jnp.where(onehot, min2, min1)
             # sign product as sum-of-sign-bits parity (reduce_prod has no
             # Pallas TPU lowering): exclusive parity = (Σ neg − neg) mod 2
             nneg = jnp.sum(neg, axis=1, keepdims=True)
             exneg = (nneg - neg) & 1
             exsign = 1.0 - 2.0 * exneg.astype(jnp.float32)
-            mag = jnp.maximum(exmin - beta, 0.0) if beta else exmin
-            out = exsign * mag
-            if alpha != 1.0:
-                out = out * alpha
+            if method == "min-sum":
+                min1 = jnp.min(a, axis=1, keepdims=True)
+                idx = jnp.argmin(a, axis=1)
+                onehot = (
+                    jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+                    == idx[:, None]
+                )
+                min2 = jnp.min(jnp.where(onehot, _BIG, a), axis=1,
+                               keepdims=True)
+                exmin = jnp.where(onehot, min2, min1)
+                mag = jnp.maximum(exmin - beta, 0.0) if beta else exmin
+                out = exsign * mag
+                if alpha != 1.0:
+                    out = out * alpha
+            else:  # stable log-domain sum-product (ops/bp.py semantics)
+                e = jnp.exp(-jnp.minimum(a, 80.0))  # pads → e ≈ 0, lt → 0
+                lt = jnp.log1p(-jnp.minimum(e, 1.0 - 1e-12)) - jnp.log1p(e)
+                s = jnp.sum(lt, axis=1, keepdims=True) - lt
+                p = jnp.minimum(jnp.exp(s), 1.0 - 1e-12)
+                out = exsign * (jnp.log1p(p) - jnp.log1p(-p))
+            if clamp is not None:
+                out = jnp.clip(out, -clamp, clamp)
             msg_ref[...] = out
             stamp_pads()
             return carry
@@ -141,23 +151,28 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("qc", "iterations", "alpha", "beta", "tile",
-                     "output", "interpret"),
+    static_argnames=("qc", "iterations", "method", "alpha", "beta",
+                     "clamp", "tile", "output", "interpret"),
 )
-def minsum_qc_pallas(
+def bp_qc_pallas(
     llr: jnp.ndarray,
     qc: QcStructure,
     iterations: int = 20,
+    method: str = "min-sum",
     alpha: float = 1.0,
     beta: float = 0.0,
+    clamp: float | None = None,
     tile: int = 128,
     output: str = "hard",
     interpret: bool = False,
 ):
     """(batch, n) channel LLRs (log Pr1/Pr0) → hard bits / posterior.
 
-    batch must be a multiple of ``tile`` (lane-axis tile, default 128).
+    ``method``: 'min-sum' or 'sum-product' (stable log-domain). batch
+    must be a multiple of ``tile`` (lane-axis tile, default 128).
     """
+    if method not in ("min-sum", "sum-product"):
+        raise ValueError(f"unsupported kernel method {method!r}")
     B, n = llr.shape
     z, nb = qc.z, qc.nb
     if n != nb * z:
@@ -165,7 +180,9 @@ def minsum_qc_pallas(
     if B % tile:
         raise ValueError(f"batch {B} not a multiple of tile {tile}")
 
-    kernel, (mb, dc_max, nb, z) = _build_kernel(qc, iterations, alpha, beta)
+    kernel, (mb, dc_max, nb, z) = _build_kernel(
+        qc, iterations, alpha, beta, method, clamp
+    )
 
     # internal convention log(Pr0/Pr1), variable-block-major planes
     lv = (-llr.T).reshape(nb, z, B).astype(jnp.float32)
@@ -189,3 +206,12 @@ def minsum_qc_pallas(
     if output == "posterior":
         return (-post).reshape(n, B).T
     return (post.reshape(n, B) < 0).astype(jnp.int8).T
+
+
+def minsum_qc_pallas(llr, qc, iterations=20, alpha=1.0, beta=0.0,
+                     tile=128, output="hard", interpret=False):
+    """Back-compat alias for :func:`bp_qc_pallas` with min-sum."""
+    return bp_qc_pallas(
+        llr, qc, iterations=iterations, method="min-sum", alpha=alpha,
+        beta=beta, tile=tile, output=output, interpret=interpret,
+    )

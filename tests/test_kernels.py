@@ -73,3 +73,28 @@ def test_native_peg_matches_invariants():
     np.testing.assert_array_equal(code.H, code2.H)
     code3 = make_regular_ldpc(128, 64, 3, seed=8, backend="native")
     assert not np.array_equal(code.H, code3.H)
+
+
+def test_pallas_sumproduct_matches_roll(rng):
+    from ldpc_sims_tpu.kernels import bp_qc_pallas
+
+    w = get_code("wifi648")
+    llr = jnp.asarray(rng.normal(0, 3, (128, w.n)), jnp.float32)
+    a = np.array(
+        bp_qc_pallas(llr, w.qc, iterations=4, method="sum-product",
+                     clamp=20.0, interpret=True, output="posterior")
+    )
+    b = np.array(
+        bp_decode(llr, w, iterations=4, method="sum-product", clamp=20.0,
+                  backend="roll", output="posterior")
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_rejects_ref_method():
+    from ldpc_sims_tpu.kernels import bp_qc_pallas
+
+    w = get_code("wifi648")
+    with pytest.raises(ValueError, match="unsupported kernel method"):
+        bp_qc_pallas(jnp.zeros((128, w.n)), w.qc, method="sum-product-ref",
+                     interpret=True)
