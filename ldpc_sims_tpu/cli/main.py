@@ -114,8 +114,17 @@ def _link_cfg_from_args(args, **over) -> LinkConfig:
 
 
 def cmd_sweep(args) -> None:
-    from ldpc_sims_tpu.parallel import SweepConfig, run_sweep
+    from ldpc_sims_tpu.parallel import (
+        SweepConfig,
+        maybe_distributed_init,
+        run_sweep,
+    )
     from ldpc_sims_tpu.plotting import plot_ber_curves
+
+    if args.multihost:
+        # multi-host pod-slice entry: JAX_COORDINATOR_ADDRESS etc. must
+        # be set by the launcher; collectives ride ICI/DCN via XLA
+        maybe_distributed_init()
 
     if args.preset:
         p = PRESETS[args.preset]
@@ -422,6 +431,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--target-errors", type=int, default=100)
     sp.add_argument("--max-bits", type=float, default=1e8)
     sp.add_argument("--msg-qbits", type=int, default=0)
+    sp.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed for a pod slice")
     sp.add_argument("--plot", action="store_true")
     sp.set_defaults(fn=cmd_sweep)
 

@@ -77,3 +77,17 @@ def test_sweep_rates_sane():
     r = run_sweep(code, cfg, sweep, log=None)
     assert r.coded_ber[0] > r.coded_ber[1]
     assert all(b <= 1 for b in r.coded_bler)
+
+
+def test_mc_step_with_neural_bp_weights():
+    """BASELINE config 5: sharded Monte-Carlo through the weighted
+    (neural-BP) decoder."""
+    from ldpc_sims_tpu.ops.bp import init_neural_bp_weights
+
+    code = reference_6432()
+    cfg = LinkConfig(bp_iterations=3, bp_method="sum-product", clamp=20.0)
+    w = init_neural_bp_weights(code, 3)
+    step = mc_step(code, cfg, batch_cw=256, weights=w)
+    out = step(jax.random.key(0), 4.0)
+    ber = float(out["coded_bit_errors"]) / float(out["info_bits"])
+    assert 1e-4 < ber < 5e-2  # all-ones weights == classic sum-product
