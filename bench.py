@@ -38,8 +38,8 @@ def log(msg: str) -> None:
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "16384"))
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    batch = int(os.environ.get("BENCH_BATCH", "8192"))
+    steps = int(os.environ.get("BENCH_STEPS", "8"))
     code = get_code("wifi1944")
     dev = jax.devices()[0]
     log(f"device: {dev}, code: {code}, batch={batch}, iters={ITERATIONS}")
@@ -84,27 +84,7 @@ def main() -> None:
         f"{batch / (dt / steps):.0f} cw/s, {rate:.3e} info bits/s"
     )
 
-    # secondary: full-chain throughput (bits generated+encoded+OFDM+decoded)
-    cfg = LinkConfig(
-        bp_iterations=ITERATIONS, bp_method="min-sum", clamp=None,
-        ofdm_size=64,
-    )
-    chain = jax.jit(
-        lambda k: link_step(k, jnp.asarray(4.0), code, cfg, batch)[
-            "coded_bit_errors"
-        ]
-    )
-    float(chain(key))
-    n_chain = max(steps // 2, 1)
-    t0 = time.perf_counter()
-    acc = 0
-    for i in range(n_chain):
-        acc += chain(jax.random.fold_in(key, 1000 + i))
-    float(acc)
-    dt_chain = time.perf_counter() - t0
-    chain_rate = batch * code.k * n_chain / dt_chain
-    log(f"full chain: {chain_rate:.3e} info bits/s (incl. TX+channel+RX)")
-
+    # emit the metric line FIRST — extras below must not jeopardize it
     print(
         json.dumps(
             {
@@ -115,8 +95,36 @@ def main() -> None:
                 "unit": "bits/s",
                 "vs_baseline": rate / TARGET,
             }
-        )
+        ),
+        flush=True,
     )
+
+    if not os.environ.get("BENCH_CHAIN"):
+        return
+    # secondary (opt-in): full-chain throughput incl. TX+channel+RX
+    try:
+        cfg = LinkConfig(
+            bp_iterations=ITERATIONS, bp_method="min-sum", clamp=None,
+            ofdm_size=64,
+        )
+        chain = jax.jit(
+            lambda k: link_step(k, jnp.asarray(4.0), code, cfg, batch)[
+                "coded_bit_errors"
+            ]
+        )
+        float(chain(key))
+        n_chain = max(steps // 2, 1)
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(n_chain):
+            acc += chain(jax.random.fold_in(key, 1000 + i))
+        float(acc)
+        dt_chain = time.perf_counter() - t0
+        chain_rate = batch * code.k * n_chain / dt_chain
+        log(f"full chain: {chain_rate:.3e} info bits/s "
+            f"(incl. TX+channel+RX)")
+    except Exception as e:  # secondary only — never fail the bench
+        log(f"chain benchmark skipped: {e}")
 
 
 if __name__ == "__main__":
