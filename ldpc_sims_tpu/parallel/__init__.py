@@ -11,5 +11,6 @@ from ldpc_sims_tpu.parallel.mc import (  # noqa: F401
     SweepConfig,
     SweepResult,
     mc_step,
+    run_grid,
     run_sweep,
 )

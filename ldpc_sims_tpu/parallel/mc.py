@@ -29,7 +29,7 @@ from ldpc_sims_tpu.parallel.mesh import (
     make_mesh,
 )
 
-__all__ = ["SweepConfig", "SweepResult", "run_sweep", "mc_step"]
+__all__ = ["SweepConfig", "SweepResult", "run_sweep", "mc_step", "run_grid"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -181,6 +181,68 @@ def run_sweep(
                 f"({acc['info_bits']:.2e} info bits, {acc['wall_s']:.1f}s)"
             )
     return result
+
+
+def run_grid(
+    code: LdpcCode,
+    cfg: LinkConfig,
+    snrdb_grid: tuple[float, ...],
+    cw_per_point: int,
+    mesh=None,
+    weights: Any | None = None,
+    seed: int = 0,
+) -> dict[str, np.ndarray]:
+    """Fixed-work sweep with the SNR grid as a *sharded mesh axis*.
+
+    The whole (snr × batch) grid runs as ONE jitted step: SNR points are
+    laid out over the mesh's ``snr`` axis and codeword batches over its
+    ``batch`` axis (the serial SNR ``for`` loop of ``evaluate_snr.py:81``
+    turned into a parallel device axis — SURVEY.md §5.7). Grid length
+    must be a multiple of the mesh's snr dimension and ``cw_per_point`` a
+    multiple of its batch dimension. Returns per-point count arrays.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if mesh is None:
+        mesh = make_mesh()
+    s_dim = mesh.shape["snr"]
+    b_dim = mesh.shape["batch"]
+    S = len(snrdb_grid)
+    if S % s_dim:
+        raise ValueError(f"grid size {S} not divisible by snr axis {s_dim}")
+    if cw_per_point % b_dim:
+        raise ValueError(
+            f"cw_per_point {cw_per_point} not divisible by batch axis "
+            f"{b_dim}"
+        )
+    per_shard_cw = cw_per_point // b_dim
+
+    def grid_step(keys, snrs):
+        # one flat vmap over the (S·b_dim) shards, each with its own SNR
+        # (nested vmap trips an XLA-CPU FFT layout RET_CHECK)
+        outs = jax.vmap(
+            lambda k, s: link_step(
+                k, s, code, cfg, per_shard_cw, weights=weights
+            )
+        )(keys, snrs)
+        return {
+            k: jnp.sum(outs[k].reshape(S, b_dim), axis=1)
+            for k in _COUNT_KEYS
+        }
+
+    jitted = jax.jit(
+        grid_step,
+        in_shardings=(
+            NamedSharding(mesh, P(("snr", "batch"))),
+            NamedSharding(mesh, P(("snr", "batch"))),
+        ),
+    )
+    master = jax.random.key(seed)
+    keys = jax.random.split(master, S * b_dim)
+    snrs = jnp.repeat(jnp.asarray(snrdb_grid, jnp.float32), b_dim)
+    with mesh:
+        counts = jitted(keys, snrs)
+    return {k: np.asarray(v) for k, v in counts.items()}
 
 
 def _point_done(acc: dict[str, float], sweep: SweepConfig) -> bool:

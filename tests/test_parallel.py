@@ -91,3 +91,29 @@ def test_mc_step_with_neural_bp_weights():
     out = step(jax.random.key(0), 4.0)
     ber = float(out["coded_bit_errors"]) / float(out["info_bits"])
     assert 1e-4 < ber < 5e-2  # all-ones weights == classic sum-product
+
+
+def test_run_grid_snr_sharded():
+    """Whole SNR grid in one jitted step, sharded over ('snr','batch')."""
+    from ldpc_sims_tpu.parallel import run_grid
+
+    code = reference_6432()
+    cfg = LinkConfig(bp_iterations=3)
+    mesh = make_mesh(snr_axis=2)  # 2 snr shards x 4 batch shards
+    grid = (0.0, 6.0)
+    counts = run_grid(code, cfg, grid, cw_per_point=256, mesh=mesh)
+    assert counts["frames"].shape == (2,)
+    assert (counts["frames"] == 256).all()
+    ber = counts["coded_bit_errors"] / counts["info_bits"]
+    assert ber[0] > ber[1]  # 0 dB worse than 6 dB
+
+
+def test_run_grid_validates_divisibility():
+    from ldpc_sims_tpu.parallel import run_grid
+
+    code = reference_6432()
+    mesh = make_mesh(snr_axis=2)
+    with pytest.raises(ValueError, match="not divisible by snr"):
+        run_grid(code, LinkConfig(), (1.0,), 256, mesh=mesh)
+    with pytest.raises(ValueError, match="not divisible by batch"):
+        run_grid(code, LinkConfig(), (1.0, 2.0), 6, mesh=mesh)
