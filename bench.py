@@ -40,9 +40,13 @@ def log(msg: str) -> None:
 def main() -> None:
     batch = int(os.environ.get("BENCH_BATCH", "8192"))
     steps = int(os.environ.get("BENCH_STEPS", "8"))
+    dtype = jnp.dtype(os.environ.get("BENCH_DTYPE", "float32"))
     code = get_code("wifi1944")
     dev = jax.devices()[0]
-    log(f"device: {dev}, code: {code}, batch={batch}, iters={ITERATIONS}")
+    log(
+        f"device: {dev}, code: {code}, batch={batch}, iters={ITERATIONS},"
+        f" dtype={dtype.name}"
+    )
 
     @jax.jit
     def decode_step(key):
@@ -55,6 +59,7 @@ def main() -> None:
             iterations=ITERATIONS,
             method="min-sum",
             output="hard",
+            dtype=dtype,
         )
         return jnp.sum(bits.astype(jnp.int32))
 
@@ -66,12 +71,14 @@ def main() -> None:
     if os.environ.get("BENCH_PROFILE"):
         jax.profiler.start_trace("/tmp/ldpc_bench_trace")
 
-    t0 = time.perf_counter()
-    acc = 0
+    # per-step host sync + median: robust against the tunnel's
+    # execute-request dedup (fresh key per step) and its latency jitter
+    ts = []
     for i in range(steps):
-        acc += decode_step(jax.random.fold_in(key, i))
-    acc = float(acc)  # host readback forces the whole chain
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(decode_step(jax.random.fold_in(key, i)))
+        ts.append(time.perf_counter() - t0)
+    dt = sorted(ts)[len(ts) // 2] * steps  # median-based total
 
     if os.environ.get("BENCH_PROFILE"):
         jax.profiler.stop_trace()

@@ -163,3 +163,18 @@ def test_ebn0_conversion():
     # rate 1/2 16-QAM: +3.01 dB
     assert float(ebn0db_to_snrdb(3.0, 0.5, 4)) == pytest.approx(6.0103, abs=1e-3)
     assert float(snrdb_to_ebn0db(6.0103, 0.5, 4)) == pytest.approx(3.0, abs=1e-3)
+
+
+def test_bfloat16_messages_decode(wifi, rng):
+    """bf16 message dtype: statistically equivalent min-sum decoding
+    (2x bandwidth on TPU)."""
+    u = rng.integers(0, 2, (64, wifi.k)).astype(np.uint8)
+    cw = wifi.encode_np(u)
+    llr = jnp.asarray((2.0 * cw - 1.0) * 2.5 + rng.normal(0, 1.2, cw.shape),
+                      jnp.float32)
+    b16 = bp_decode(llr, wifi, iterations=10, method="min-sum",
+                    dtype=jnp.bfloat16)
+    b32 = bp_decode(llr, wifi, iterations=10, method="min-sum")
+    ber16 = float(jnp.mean((np.array(b16) != cw).astype(np.float32)))
+    ber32 = float(jnp.mean((np.array(b32) != cw).astype(np.float32)))
+    assert abs(ber16 - ber32) < 5e-3
