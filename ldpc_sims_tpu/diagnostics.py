@@ -117,7 +117,9 @@ def evaluate_joint(
                 (bits[:, :k] != coded[:, :k]).astype(jnp.int32), axis=1
             )
             res[f"ber_{tag}"] = jnp.sum(err)
-            res[f"bler_{tag}"] = jnp.sum((err > 0).astype(jnp.int32))
+            res[f"bler_{tag}"] = jnp.sum(
+                jnp.any(bits != coded, axis=1).astype(jnp.int32)
+            )
 
         # classic on analytic LLRs
         count(

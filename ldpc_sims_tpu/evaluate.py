@@ -93,7 +93,10 @@ def evaluate_sweep(
                 (bits[:, :k] != coded[:, :k]).astype(jnp.int32), axis=1
             )
             res[f"coded_errs_{tag}"] = jnp.sum(err)
-            res[f"frame_errs_{tag}"] = jnp.sum((err > 0).astype(jnp.int32))
+            # BLER over the full codeword (evaluate_quantized.py:141)
+            res[f"frame_errs_{tag}"] = jnp.sum(
+                jnp.any(bits != coded, axis=1).astype(jnp.int32)
+            )
 
         decode_count(out["llrs"], "trad")
         if link_cfg.qbits is not None:

@@ -214,12 +214,15 @@ def link_step(
     info_err = jnp.sum(
         (bits_est[:, :k] != coded[:, :k]).astype(jnp.int32), axis=1
     )
+    # reference conventions: coded BER on info bits [:, 0:k], BLER on the
+    # FULL codeword (evaluate_quantized.py:140-141)
+    frame_err = jnp.any(bits_est != coded, axis=1)
     # int32 counters: per-call counts stay far below 2³¹ (the sweep engine
     # accumulates across calls in Python floats)
     out.update(
         uncoded_bit_errors=jnp.sum((uncoded_est != coded).astype(jnp.int32)),
         coded_bit_errors=jnp.sum(info_err),
-        frame_errors=jnp.sum((info_err > 0).astype(jnp.int32)),
+        frame_errors=jnp.sum(frame_err.astype(jnp.int32)),
         uncoded_bits=jnp.int32(batch_cw * n),
         info_bits=jnp.int32(batch_cw * k),
         frames=jnp.int32(batch_cw),
