@@ -147,7 +147,9 @@ def cmd_sweep(args) -> None:
     for qb in grids:
         link_q = dataclasses.replace(link, msg_qbits=qb)
         tag = f"_msgq{qb}" if qb else ""
-        manifest = os.path.join(args.out, f"{stamp}_sweep{tag}.json")
+        manifest = args.manifest or os.path.join(
+            args.out, f"{stamp}_sweep{tag}.json"
+        )
         result = run_sweep(code, link_q, sweep, manifest_path=manifest)
         out = {
             "code": code.name,
@@ -433,6 +435,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--msg-qbits", type=int, default=0)
     sp.add_argument("--multihost", action="store_true",
                     help="initialize jax.distributed for a pod slice")
+    sp.add_argument("--manifest", default="",
+                    help="reuse an existing sweep manifest (resume an "
+                         "interrupted sweep instead of starting fresh)")
     sp.add_argument("--plot", action="store_true")
     sp.set_defaults(fn=cmd_sweep)
 

@@ -125,12 +125,19 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                 out = exsign * mag
                 if alpha != 1.0:
                     out = out * alpha
-            else:  # stable log-domain sum-product (ops/bp.py semantics)
-                e = jnp.exp(-jnp.minimum(a, 80.0))  # pads → e ≈ 0, lt → 0
-                lt = jnp.log1p(-jnp.minimum(e, 1.0 - 1e-12)) - jnp.log1p(e)
-                s = jnp.sum(lt, axis=1, keepdims=True) - lt
-                p = jnp.minimum(jnp.exp(s), 1.0 - 1e-12)
-                out = exsign * (jnp.log1p(p) - jnp.log1p(-p))
+            else:  # stable log-domain sum-product (ops/bp.py semantics:
+                # expm1-based pole handling; naive 1−1e-12 guards are f32
+                # no-ops and NaN-cascade on TPU)
+                ac = jnp.minimum(jnp.maximum(a, 1e-12), 80.0)
+                lt = (
+                    jnp.log(-jnp.expm1(-ac)) - jnp.log1p(jnp.exp(-ac))
+                )
+                s = jnp.minimum(
+                    jnp.sum(lt, axis=1, keepdims=True) - lt, -1e-12
+                )
+                out = exsign * (
+                    jnp.log1p(jnp.exp(s)) - jnp.log(-jnp.expm1(s))
+                )
             if clamp is not None:
                 out = jnp.clip(out, -clamp, clamp)
             msg_ref[...] = out

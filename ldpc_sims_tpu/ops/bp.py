@@ -137,16 +137,25 @@ def _check_update_minsum(
 
 
 def _check_update_sumproduct(v2c: jnp.ndarray) -> jnp.ndarray:
-    """Stable log-domain sum-product check update (dc axis = 1)."""
-    a = jnp.abs(v2c)
+    """Stable log-domain sum-product check update (dc axis = 1).
+
+    Both poles are handled with exact ``expm1`` identities — naive
+    ``1 − exp(·)`` guards like ``min(p, 1 − 1e-12)`` are no-ops in f32
+    (1 − 1e-12 rounds to 1.0) and produced Inf→NaN cascades after ~8
+    saturated iterations on TPU, whose faster-saturating transcendental
+    approximations reach exp(s) == 1.0 sooner than CPU's:
+
+    * log tanh(a/2) = log(−expm1(−a)) − log1p(exp(−a)), with a floored
+      at 1e-12 (⇒ lt ≥ −28.3, finite);
+    * 2·atanh(e^s) = log1p(e^s) − log(−expm1(s)), with s capped at
+      −1e-12 (⇒ magnitude ≤ 28.3 — the same cap the product-form
+      reference clamp ±(1−1e-7) implies).
+    """
+    a = jnp.maximum(jnp.abs(v2c), 1e-12)
     sgn = _signs(v2c)
-    # log tanh(a/2) = log1p(-e^{-a}) - log1p(e^{-a}); clamp the singularity
-    e = jnp.exp(-a)
-    lt = jnp.log1p(-jnp.minimum(e, 1.0 - 1e-12)) - jnp.log1p(e)
-    s = _exclusive_sum(lt, axis=1)  # ≤ 0
-    p = jnp.exp(s)
-    p = jnp.minimum(p, 1.0 - 1e-12)
-    mag = jnp.log1p(p) - jnp.log1p(-p)  # = 2 atanh(p)
+    lt = jnp.log(-jnp.expm1(-a)) - jnp.log1p(jnp.exp(-a))
+    s = jnp.minimum(_exclusive_sum(lt, axis=1), -1e-12)
+    mag = jnp.log1p(jnp.exp(s)) - jnp.log(-jnp.expm1(s))
     exsign = jnp.prod(sgn, axis=1, keepdims=True) * sgn
     return exsign * mag
 

@@ -84,14 +84,16 @@ def _minsum_excl(x: jnp.ndarray, alpha: float, beta: float) -> jnp.ndarray:
 
 
 def _sumproduct_excl(x: jnp.ndarray) -> jnp.ndarray:
-    """Stable exclusive sum-product over axis 0 (see ops/bp.py)."""
-    a = jnp.abs(x)
+    """Stable exclusive sum-product over axis 0.
+
+    expm1-based pole handling — see ops/bp.py:_check_update_sumproduct
+    for why naive ``1 − 1e-12`` guards are f32 no-ops (TPU NaN cascade).
+    """
+    a = jnp.maximum(jnp.abs(x), 1e-12)
     sgn = _signs(x)
-    e = jnp.exp(-a)
-    lt = jnp.log1p(-jnp.minimum(e, 1.0 - 1e-12)) - jnp.log1p(e)
-    s = jnp.sum(lt, axis=0, keepdims=True) - lt
-    p = jnp.minimum(jnp.exp(s), 1.0 - 1e-12)
-    mag = jnp.log1p(p) - jnp.log1p(-p)
+    lt = jnp.log(-jnp.expm1(-a)) - jnp.log1p(jnp.exp(-a))
+    s = jnp.minimum(jnp.sum(lt, axis=0, keepdims=True) - lt, -1e-12)
+    mag = jnp.log1p(jnp.exp(s)) - jnp.log(-jnp.expm1(s))
     exsign = jnp.prod(sgn, axis=0, keepdims=True) * sgn
     return exsign * mag
 

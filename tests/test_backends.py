@@ -178,3 +178,43 @@ def test_bfloat16_messages_decode(wifi, rng):
     ber16 = float(jnp.mean((np.array(b16) != cw).astype(np.float32)))
     ber32 = float(jnp.mean((np.array(b32) != cw).astype(np.float32)))
     assert abs(ber16 - ber32) < 5e-3
+
+
+@pytest.mark.parametrize("backend", ["roll", "gather"])
+def test_sumproduct_saturation_stability(wifi, backend, rng):
+    """Regression: deeply saturated sum-product must stay finite.
+
+    f32 pole guards of the form min(p, 1 − 1e-12) are no-ops (1 − 1e-12
+    rounds to 1.0); saturated messages then hit log1p(−1) = −Inf and the
+    exclusive-sum subtraction turns Inf into NaN — observed on TPU after
+    ~8 iterations, BER collapsing to 0.5. The expm1 formulation caps
+    magnitudes at ≈28.3 instead."""
+    u = rng.integers(0, 2, (32, wifi.k)).astype(np.uint8)
+    cw = wifi.encode_np(u)
+    # huge LLRs + an exact-zero column: both poles at once
+    llr = (2.0 * cw - 1.0) * 60.0
+    llr[:, 7] = 0.0
+    post = bp_decode(jnp.asarray(llr, jnp.float32), wifi, iterations=30,
+                     method="sum-product", backend=backend,
+                     output="posterior")
+    post = np.array(post)
+    assert np.isfinite(post).all()
+    assert np.abs(post).max() < 500.0
+    bits = (post > 0).astype(np.uint8)
+    # everything except the zeroed column decodes exactly
+    np.testing.assert_array_equal(
+        np.delete(bits, 7, axis=1), np.delete(cw, 7, axis=1)
+    )
+
+
+def test_sumproduct_pallas_saturation(wifi, rng):
+    from ldpc_sims_tpu.kernels import bp_qc_pallas
+
+    u = rng.integers(0, 2, (128, wifi.k)).astype(np.uint8)
+    cw = wifi.encode_np(u)
+    llr = jnp.asarray((2.0 * cw - 1.0) * 60.0, jnp.float32)
+    post = np.array(
+        bp_qc_pallas(llr, wifi.qc, iterations=30, method="sum-product",
+                     interpret=True, output="posterior")
+    )
+    assert np.isfinite(post).all()
