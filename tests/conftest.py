@@ -14,6 +14,13 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# A site hook may have imported jax (and locked JAX_PLATFORMS) before this
+# conftest ran; backends initialize lazily, so overriding via jax.config
+# here still wins as long as no device has been touched yet.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
