@@ -66,10 +66,21 @@ def _signs(x):
     return jnp.where(x < 0, -1.0, 1.0).astype(x.dtype)
 
 
+def _exclusive_sign(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive sign product over axis 0 as a negative-count parity.
+
+    Additive reduction instead of a multiplicative one — cheaper on the
+    VPU and avoids a TPU compiler SIGSEGV seen when sign-`prod` reduces
+    fuse with the decode loop's gathers (see ops/bp.py:_exclusive_sign).
+    """
+    neg = (x < 0).astype(x.dtype)
+    ex = jnp.sum(neg, axis=0, keepdims=True) - neg
+    return 1.0 - 2.0 * (ex % 2.0)
+
+
 def _minsum_excl(x: jnp.ndarray, alpha: float, beta: float) -> jnp.ndarray:
     """Exclusive min-sum over axis 0 of (d, z, B) via two-minima."""
     a = jnp.abs(x)
-    sgn = _signs(x)
     min1 = jnp.min(a, axis=0, keepdims=True)
     idx = jnp.argmin(a, axis=0)
     onehot = (
@@ -77,7 +88,7 @@ def _minsum_excl(x: jnp.ndarray, alpha: float, beta: float) -> jnp.ndarray:
     )
     min2 = jnp.min(jnp.where(onehot, _BIG, a), axis=0, keepdims=True)
     exmin = jnp.where(onehot, min2, min1)
-    exsign = jnp.prod(sgn, axis=0, keepdims=True) * sgn
+    exsign = _exclusive_sign(x)
     mag = jnp.maximum(exmin - beta, 0.0) if beta else exmin
     out = exsign * mag
     return out * alpha if alpha != 1.0 else out
@@ -90,12 +101,10 @@ def _sumproduct_excl(x: jnp.ndarray) -> jnp.ndarray:
     for why naive ``1 − 1e-12`` guards are f32 no-ops (TPU NaN cascade).
     """
     a = jnp.maximum(jnp.abs(x), 1e-12)
-    sgn = _signs(x)
     lt = jnp.log(-jnp.expm1(-a)) - jnp.log1p(jnp.exp(-a))
     s = jnp.minimum(jnp.sum(lt, axis=0, keepdims=True) - lt, -1e-12)
     mag = jnp.log1p(jnp.exp(s)) - jnp.log(-jnp.expm1(s))
-    exsign = jnp.prod(sgn, axis=0, keepdims=True) * sgn
-    return exsign * mag
+    return _exclusive_sign(x) * mag
 
 
 def _ref_excl(x: jnp.ndarray) -> jnp.ndarray:
