@@ -38,7 +38,7 @@ def log(msg: str) -> None:
 
 
 def main() -> None:
-    batch = int(os.environ.get("BENCH_BATCH", "8192"))
+    batch = int(os.environ.get("BENCH_BATCH", "32768"))
     steps = int(os.environ.get("BENCH_STEPS", "8"))
     dtype = jnp.dtype(os.environ.get("BENCH_DTYPE", "float32"))
     code = get_code("wifi1944")

@@ -194,6 +194,17 @@ def bp_qc_pallas(
     # internal convention log(Pr0/Pr1), variable-block-major planes
     lv = (-llr.T).reshape(nb, z, B).astype(jnp.float32)
 
+    # scratch (mb·dc_max·z·tile f32) + double-buffered in/out blocks exceed
+    # the 16 MB default scoped-vmem budget even at tile=128 on (1944,972);
+    # raise the cap toward the chip's physical VMEM (v5e: 128 MB).
+    vmem_bytes = 4 * (
+        2 * 2 * nb * z * tile  # in + out blocks, double-buffered
+        + mb * dc_max * z * tile  # message scratch
+    )
+    params = pltpu.CompilerParams(
+        dimension_semantics=("arbitrary",),
+        vmem_limit_bytes=min(max(32 * 2**20, 2 * vmem_bytes), 100 * 2**20),
+    )
     post = pl.pallas_call(
         kernel,
         grid=(B // tile,),
@@ -207,6 +218,7 @@ def bp_qc_pallas(
         scratch_shapes=[
             pltpu.VMEM((mb, dc_max, z, tile), jnp.float32),
         ],
+        compiler_params=params,
         interpret=interpret,
     )(lv)
 

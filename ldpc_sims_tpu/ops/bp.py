@@ -245,6 +245,37 @@ def init_neural_bp_weights(
     return w
 
 
+def _pallas_eligible(
+    method: str,
+    early_stop: bool,
+    msg_qbits: int | None,
+    weights,
+    output: str,
+    auto: bool = False,
+) -> bool:
+    """Whether the VMEM-resident Pallas kernel can serve this decode.
+
+    Auto-selection additionally requires output='hard' (the kernel is not
+    differentiable; hard bits carry no gradient anyway) and a real TPU
+    default backend — explicit ``backend='pallas'`` also accepts
+    posterior/soft outputs for inference sweeps.
+    """
+    if method not in ("min-sum", "sum-product"):
+        return False
+    if early_stop or msg_qbits is not None or weights is not None:
+        return False
+    allowed = ("hard",) if auto else ("hard", "posterior", "soft")
+    if output not in allowed:
+        return False
+    if auto:
+        try:
+            if jax.default_backend() not in ("tpu", "axon"):
+                return False
+        except Exception:
+            return False
+    return True
+
+
 def bp_decode(
     llr: jnp.ndarray,
     code: LdpcCode | TannerGraph,
@@ -284,7 +315,11 @@ def bp_decode(
         on the reference's sigmoid-of-half-LLR scale (``bp/bp.py:36-51``);
         'posterior' → (batch, n) posterior log(Pr1/Pr0); 'hard_iters' →
         (bits, iterations_run).
-      backend: 'auto' | 'roll' | 'dense' | 'gather' (see module docs).
+      backend: 'auto' | 'pallas' | 'roll' | 'dense' | 'gather' (see module
+        docs). 'pallas' is the VMEM-resident QC kernel
+        (:mod:`ldpc_sims_tpu.kernels.minsum_qc`); auto picks it on TPU for
+        QC codes on the plain inference path (hard output, no weights /
+        early-stop / message quantization).
     """
     if method not in ("min-sum", "sum-product", "sum-product-ref"):
         raise ValueError(f"unknown method {method!r}")
@@ -299,12 +334,48 @@ def bp_decode(
     g = code.graph if isinstance(code, LdpcCode) else code
 
     if backend == "auto":
-        if qc is not None:
+        if qc is not None and _pallas_eligible(
+            method, early_stop, msg_qbits, weights, output, auto=True
+        ):
+            backend = "pallas"
+        elif qc is not None:
             backend = "roll"
         elif g.n_checks * g.dc <= _DENSE_MAX_PADDED_EDGES:
             backend = "dense"
         else:
             backend = "gather"
+    if backend == "pallas":
+        if qc is None:
+            raise ValueError("pallas backend requires a quasi-cyclic LdpcCode")
+        if not _pallas_eligible(method, early_stop, msg_qbits, weights,
+                                output):
+            raise ValueError(
+                "pallas backend supports method in (min-sum, sum-product), "
+                "no early_stop/msg_qbits/weights, output in (hard, "
+                "posterior, soft)"
+            )
+        from ldpc_sims_tpu.kernels.minsum_qc import bp_qc_pallas
+
+        B = llr.shape[0]
+        tile = 128
+        pad = (-B) % tile
+        if pad:
+            llr = jnp.concatenate(
+                [llr, jnp.zeros((pad, llr.shape[1]), llr.dtype)], axis=0
+            )
+        out = bp_qc_pallas(
+            llr, qc, iterations=iterations, method=method, alpha=alpha,
+            beta=beta, clamp=clamp, tile=tile,
+            output="posterior" if output in ("posterior", "soft") else "hard",
+            # off-TPU (tests, CPU meshes) the kernel runs in interpret mode
+            interpret=jax.default_backend() not in ("tpu", "axon"),
+        )
+        if pad:
+            out = out[:B]
+        if output == "soft":
+            # reference scale: sigmoid of half the (negated) posterior
+            return jax.nn.sigmoid(jnp.asarray(0.5, out.dtype) * out)
+        return out
     if backend == "roll":
         if qc is None:
             raise ValueError("roll backend requires a quasi-cyclic LdpcCode")

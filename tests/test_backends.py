@@ -35,6 +35,39 @@ def test_dense_equals_gather(method, rng):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_backend_dispatch(wifi, rng):
+    """bp_decode(backend='pallas'): pad-to-tile, posterior/soft/hard
+    outputs, agreement with the roll backend (interpret mode on CPU)."""
+    u = rng.integers(0, 2, (5, wifi.k)).astype(np.uint8)  # non-multiple of 128
+    cw = wifi.encode_np(u)
+    llr = jnp.asarray((2.0 * cw - 1.0) * 2.5 + rng.normal(0, 1.0, cw.shape),
+                      jnp.float32)
+    kw = dict(iterations=5, method="min-sum", clamp=20.0)
+    post_p = np.array(bp_decode(llr, wifi, backend="pallas",
+                                output="posterior", **kw))
+    post_r = np.array(bp_decode(llr, wifi, backend="roll",
+                                output="posterior", **kw))
+    np.testing.assert_allclose(post_p, post_r, rtol=1e-4, atol=1e-4)
+    soft = np.array(bp_decode(llr, wifi, backend="pallas", output="soft",
+                              **kw))
+    np.testing.assert_allclose(
+        soft, 1.0 / (1.0 + np.exp(-0.5 * post_p)), rtol=1e-5, atol=1e-5
+    )
+    hard = np.array(bp_decode(llr, wifi, backend="pallas", output="hard",
+                              **kw))
+    np.testing.assert_array_equal(hard, (post_p > 0).astype(np.int8))
+
+
+def test_pallas_backend_rejects_unsupported(wifi):
+    w = init_neural_bp_weights(wifi, 2)
+    with pytest.raises(ValueError, match="pallas backend"):
+        bp_decode(jnp.zeros((4, wifi.n)), wifi, iterations=2,
+                  weights=w, backend="pallas")
+    with pytest.raises(ValueError, match="pallas backend"):
+        bp_decode(jnp.zeros((4, wifi.n)), wifi, iterations=2,
+                  method="sum-product-ref", backend="pallas")
+
+
 def test_auto_backend_selection(wifi):
     # QC code → roll; small code → dense; both must simply run
     llr = jnp.zeros((4, wifi.n))
