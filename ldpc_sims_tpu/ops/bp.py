@@ -291,6 +291,7 @@ def bp_decode(
     weights: dict[str, Any] | None = None,
     output: str = "hard",
     backend: str = "auto",
+    schedule: str = "flooding",
     dtype=jnp.float32,
 ) -> jnp.ndarray | tuple:
     """Decode a batch of codewords with iterative BP.
@@ -320,9 +321,23 @@ def bp_decode(
         (:mod:`ldpc_sims_tpu.kernels.minsum_qc`); auto picks it on TPU for
         QC codes on the plain inference path (hard output, no weights /
         early-stop / message quantization).
+      schedule: 'flooding' (all checks in parallel, the reference's
+        schedule) | 'layered' (serial-C row-layered — converges in ~half
+        the iterations; QC/roll backend only).
     """
     if method not in ("min-sum", "sum-product", "sum-product-ref"):
         raise ValueError(f"unknown method {method!r}")
+    if schedule not in ("flooding", "layered"):
+        raise ValueError(f"unknown schedule {schedule!r}")
+    if schedule == "layered":
+        if not (isinstance(code, LdpcCode) and code.qc is not None):
+            raise ValueError(
+                "layered schedule requires a quasi-cyclic LdpcCode "
+                "(roll backend)"
+            )
+        if backend not in ("auto", "roll"):
+            raise ValueError("layered schedule is roll-backend only")
+        backend = "roll"
     if early_stop and weights is not None:
         raise ValueError("early_stop with neural-BP weights is unsupported")
     if weights is not None and "w_pair" in weights and backend != "gather":
@@ -394,6 +409,7 @@ def bp_decode(
             msg_qclip=msg_qclip,
             weights=weights,
             output=output,
+            schedule=schedule,
             dtype=dtype,
         )
     if backend not in ("dense", "gather"):

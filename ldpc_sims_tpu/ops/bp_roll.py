@@ -138,11 +138,18 @@ def decode_roll(
     msg_qclip: float = 20.0,
     weights: dict[str, Any] | None = None,
     output: str = "hard",
+    schedule: str = "flooding",
     dtype=jnp.float32,
 ):
     """QC-LDPC BP decode; same contract as :func:`ldpc_sims_tpu.ops.bp.bp_decode`.
 
     llr: (batch, n) channel LLRs, log(Pr1/Pr0) convention.
+
+    ``schedule='layered'`` (serial-C / row-layered scheduling): check block
+    rows update sequentially within one iteration, each reading the
+    *current* posterior — converges in roughly half the iterations of
+    flooding for the same BER (standard LDPC result; the reference only
+    has flooding). QC structure makes each layer a static set of rolls.
     """
     z, nb, mb = qc.z, qc.nb, qc.mb
     planes, group_c, group_v = qc_plan(qc)
@@ -170,22 +177,26 @@ def decode_roll(
                 per_plane[p] = wm[j, :, k][:, None]  # (z, 1), var orient
         return per_plane, wl
 
+    def excl_update(x: jnp.ndarray) -> jnp.ndarray:
+        """Exclusive check update over axis 0 + clamp/quantize postlude."""
+        if method == "min-sum":
+            y = _minsum_excl(x, alpha, beta)
+        elif method == "sum-product":
+            y = _sumproduct_excl(x)
+        else:
+            y = _ref_excl(x)
+        if clamp is not None:
+            y = jnp.clip(y, -clamp, clamp)
+        if msg_qbits is not None:
+            step = 2.0 * msg_qclip / (2**msg_qbits - 1)
+            y = jnp.clip(jnp.round(y / step) * step, -msg_qclip, msg_qclip)
+        return y
+
     def check_update(v2c_planes: list) -> list:
         out: list = [None] * P
         for i in range(mb):
             ps = group_c[i]
-            x = jnp.stack([v2c_planes[p] for p in ps])  # (d, z, B)
-            if method == "min-sum":
-                y = _minsum_excl(x, alpha, beta)
-            elif method == "sum-product":
-                y = _sumproduct_excl(x)
-            else:
-                y = _ref_excl(x)
-            if clamp is not None:
-                y = jnp.clip(y, -clamp, clamp)
-            if msg_qbits is not None:
-                step = 2.0 * msg_qclip / (2**msg_qbits - 1)
-                y = jnp.clip(jnp.round(y / step) * step, -msg_qclip, msg_qclip)
+            y = excl_update(jnp.stack([v2c_planes[p] for p in ps]))
             for k, p in enumerate(ps):
                 out[p] = y[k]
         return out
@@ -249,6 +260,20 @@ def decode_roll(
     def one_iter(c2v_planes: list, w_it=None) -> list:
         return check_update(var_update(c2v_planes, w_it))
 
+    if schedule not in ("flooding", "layered"):
+        raise ValueError(f"unknown schedule {schedule!r}")
+    if schedule == "layered":
+        if weights is not None:
+            raise ValueError(
+                "layered schedule does not support neural-BP weights "
+                "(per-iteration weights assume a flooding unroll)"
+            )
+        post, iters_run = _decode_layered(
+            Lv, planes, group_c, excl_update, mb, nb, z, B,
+            iterations=iterations, early_stop=early_stop, dtype=dtype,
+        )
+        return _emit(post, iters_run, output, n, B)
+
     if weights is not None:
         w_planes = []  # per-iteration static weight views
         for it in range(iterations):
@@ -280,7 +305,11 @@ def decode_roll(
         )
         iters_run = jnp.int32(iterations)
 
-    post = posterior(c2v)  # (nb, z, B)
+    return _emit(posterior(c2v), iters_run, output, n, B)
+
+
+def _emit(post: jnp.ndarray, iters_run, output: str, n: int, B: int):
+    """(nb, z, B) internal posterior log(Pr0/Pr1) → requested output."""
     if output == "posterior":
         return (-post).reshape(n, B).T
     if output == "soft":
@@ -289,3 +318,80 @@ def decode_roll(
     if output == "hard_iters":
         return bits, iters_run
     return bits
+
+
+def _decode_layered(
+    Lv: jnp.ndarray,
+    planes: list,
+    group_c: list,
+    excl_update,
+    mb: int,
+    nb: int,
+    z: int,
+    B: int,
+    *,
+    iterations: int,
+    early_stop: bool,
+    dtype,
+):
+    """Serial-C (row-layered) BP over the QC block rows.
+
+    State: per-variable-block posterior planes ``L`` (variable
+    orientation) and per-plane c2v messages (check orientation). Each
+    layer i recomputes its v2c messages from the *current* posterior
+    (``v2c = roll(L_j, −s) − c2v_p``), applies the exclusive check
+    update, and folds the message delta back into the posterior — so
+    later layers inside the same sweep already see the improvement.
+    One "iteration" = one sweep over all ``mb`` layers.
+    """
+    P = len(planes)
+
+    def sweep(state):
+        L, c2v = list(state[0]), list(state[1])
+        for i in range(mb):
+            ps = group_c[i]
+            xs = [
+                jnp.roll(L[planes[p][1]], -planes[p][2], axis=0) - c2v[p]
+                for p in ps
+            ]
+            y = excl_update(jnp.stack(xs))
+            for k, p in enumerate(ps):
+                _, j, s = planes[p]
+                L[j] = L[j] + jnp.roll(y[k] - c2v[p], s, axis=0)
+                c2v[p] = y[k]
+        return tuple(L), tuple(c2v)
+
+    L0 = tuple(Lv[j] for j in range(nb))
+    c2v0 = tuple(jnp.zeros((z, B), dtype) for _ in range(P))
+
+    if early_stop:
+
+        def syndrome_ok(L):
+            bits = [(l < 0).astype(jnp.int32) for l in L]
+            ok = jnp.bool_(True)
+            for i in range(mb):
+                acc = 0
+                for p in group_c[i]:
+                    _, j, s = planes[p]
+                    acc = acc + jnp.roll(bits[j], -s, axis=0)
+                ok = jnp.logical_and(ok, jnp.all(acc % 2 == 0))
+            return ok
+
+        def cond(state):
+            it, _, _, done = state
+            return jnp.logical_and(it < iterations, jnp.logical_not(done))
+
+        def body(state):
+            it, L, c2v, _ = state
+            L, c2v = sweep((L, c2v))
+            return it + 1, L, c2v, syndrome_ok(L)
+
+        iters_run, L, _, _ = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), L0, c2v0, jnp.bool_(False))
+        )
+    else:
+        L, _ = jax.lax.fori_loop(
+            0, iterations, lambda i, st: sweep(st), (L0, c2v0)
+        )
+        iters_run = jnp.int32(iterations)
+    return jnp.stack(L), iters_run

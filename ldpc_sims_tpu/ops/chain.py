@@ -42,6 +42,7 @@ class LinkConfig:
     # decoder
     bp_iterations: int = 3
     bp_method: str = "sum-product-ref"
+    bp_schedule: str = "flooding"  # 'layered' = serial-C (QC codes only)
     clamp: float | None = 20.0
     alpha: float = 1.0
     beta: float = 0.0
@@ -208,6 +209,7 @@ def link_step(
         msg_qclip=cfg.msg_qclip,
         weights=weights,
         output="hard",
+        schedule=cfg.bp_schedule,
     )
 
     uncoded_est = (llrs > 0).astype(jnp.int8)
