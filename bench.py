@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ldpc_sims_tpu.codes import get_code
 from ldpc_sims_tpu.ops.bp import bp_decode
 from ldpc_sims_tpu.ops.chain import LinkConfig, link_step
+from ldpc_sims_tpu.utils import enable_compilation_cache
 
 TARGET = 5e7
 ITERATIONS = 20
@@ -38,6 +39,9 @@ def log(msg: str) -> None:
 
 
 def main() -> None:
+    # first compile of the (1944,972) kernel costs minutes of Mosaic
+    # time; the persistent cache makes re-runs of the same config free
+    log(f"compilation cache: {enable_compilation_cache()}")
     batch = int(os.environ.get("BENCH_BATCH", "32768"))
     steps = int(os.environ.get("BENCH_STEPS", "8"))
     dtype = jnp.dtype(os.environ.get("BENCH_DTYPE", "float32"))

@@ -267,6 +267,65 @@ def cmd_train_joint(args) -> None:
     print(f"checkpoint -> {ckpt}")
 
 
+def cmd_train_grid(args) -> None:
+    """Per-SNR model-family chain (unquantized.py → quantized.py flow)."""
+    from ldpc_sims_tpu.grid import train_grid
+    from ldpc_sims_tpu.training import TrainConfig
+
+    code = get_code(args.code)
+    tc = TrainConfig(
+        learning_rate=args.lr, num_epochs=args.epochs,
+        batch_size=args.batch, seed=args.seed,
+    )
+    manifest = train_grid(
+        code,
+        snrdb_grid=_parse_snr(args.snr),
+        qbits_grid=tuple(int(q) for q in args.qbits_grid.split(",") if q),
+        clipdb_grid=tuple(
+            float(c) for c in args.clipdb_grid.split(",") if c
+        ),
+        train_cfg=tc,
+        ofdm_size=args.ofdm_size,
+        num_codewords=args.num_codewords,
+        out_dir=args.out,
+        family=args.family or None,
+        seed=args.seed,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(args.out, f"{manifest['family']}_family.json")
+    with open(path, "w") as f:
+        json.dump(manifest, f, indent=1)
+    print(f"family '{manifest['family']}' manifest -> {path}")
+
+
+def cmd_evaluate_grid(args) -> None:
+    """Checkpoint-family grid evaluation (evaluate_quantized_grid.py)."""
+    from ldpc_sims_tpu.grid import evaluate_grid
+    from ldpc_sims_tpu.plotting import plot_grid
+    from ldpc_sims_tpu.utils.registry import record_run
+
+    code = get_code(args.code)
+    link = _link_cfg_from_args(args, qbits=None)
+    grid = evaluate_grid(
+        code, args.family, link_base=link, ofdm_size=args.ofdm_size,
+        num_codewords=args.batch, out_dir=args.out, stage=args.stage,
+        seed=args.seed,
+    )
+    stamp = time.strftime("%Y%m%d-%H%M%S")
+    path = os.path.join(args.out, f"{stamp}_grid_{args.family}.json")
+    with open(path, "w") as f:
+        json.dump(grid, f, indent=1)
+    record_run("evaluate-grid", args.out, code=code.name,
+               family=args.family, curves=path)
+    print(f"grid -> {path}")
+    if args.plot:
+        fig = plot_grid(
+            grid, os.path.join(args.out, f"{stamp}_grid_{args.family}.png"),
+            title=f"{code.name} family {args.family}",
+        )
+        print(f"figure -> {fig}")
+
+
 def cmd_evaluate(args) -> None:
     from ldpc_sims_tpu.evaluate import EvalConfig, evaluate_sweep
     from ldpc_sims_tpu.models import (
@@ -468,6 +527,36 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--num-codewords", type=int, default=4096)
     sp.set_defaults(fn=cmd_train_joint)
 
+    sp = sub.add_parser(
+        "train-grid",
+        help="train the per-SNR model family (unquantized → quantized "
+             "warm-start chain); resumable by --family",
+    )
+    _add_common(sp)
+    sp.add_argument("--snr", default="0:10:11")
+    sp.add_argument("--qbits-grid", default="1,3,5")
+    sp.add_argument("--clipdb-grid", default="0,5")
+    sp.add_argument("--lr", type=float, default=0.01)
+    sp.add_argument("--epochs", type=int, default=100)
+    sp.add_argument("--batch", type=int, default=4096)
+    sp.add_argument("--num-codewords", type=int, default=4096)
+    sp.add_argument("--family", default="",
+                    help="family id (reuse to resume an interrupted grid)")
+    sp.set_defaults(fn=cmd_train_grid)
+
+    sp = sub.add_parser(
+        "evaluate-grid",
+        help="evaluate every checkpoint of a trained family at its own "
+             "(snr, qbits, clipdb) cell",
+    )
+    _add_common(sp)
+    sp.add_argument("--family", required=True)
+    sp.add_argument("--stage", default="quantized",
+                    choices=["quantized", "unquantized"])
+    sp.add_argument("--batch", type=int, default=4096)
+    sp.add_argument("--plot", action="store_true")
+    sp.set_defaults(fn=cmd_evaluate_grid)
+
     sp = sub.add_parser("evaluate", help="evaluate curves (opt. with NN)")
     _add_common(sp)
     sp.add_argument("--ckpt", default="")
@@ -503,6 +592,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> None:
+    from ldpc_sims_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     args.fn(args)
 

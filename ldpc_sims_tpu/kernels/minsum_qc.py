@@ -1,4 +1,4 @@
-"""Pallas TPU kernel: QC-LDPC min-sum BP with VMEM-resident messages.
+"""Pallas TPU kernel: QC-LDPC BP decode with VMEM-resident messages.
 
 The XLA roll-backend decoder (ops/bp_roll.py) round-trips every message
 plane through HBM several times per iteration (rolls, stacks and
@@ -7,17 +7,25 @@ of HBM traffic per 4k-codeword batch — the throughput ceiling. This
 kernel keeps the *entire* message state in VMEM across all iterations:
 
 * grid over batch tiles (lane axis, default 128 lanes);
-* scratch: c2v and v2c message planes in check-padded layout
-  ``(mb, dc_max, z, tile)`` — for wifi1944 ≈ 4 MB each in f32;
-* per-iteration: variable update as an unrolled sweep over the nb
-  variable blocks (cyclic-shift ``pltpu.roll`` per circulant, running
-  sums, exclusive subtraction), then ONE vectorized two-minima min-sum
-  over the dc_max axis for all checks at once;
+* scratch: one message plane in check-padded layout
+  ``(mb, dc_max, z, tile)`` (each slot holds c2v or v2c depending on
+  phase — a slot belongs to exactly one variable block, so the variable
+  update is in place) plus a posterior plane ``(nb, z, tile)``;
+* per-iteration: posterior sweep over the nb variable blocks
+  (cyclic-shift ``pltpu.roll`` per circulant, running sums), in-place
+  exclusive subtraction, then ONE vectorized two-minima min-sum over
+  the dc_max axis for all checks at once;
 * HBM traffic: LLRs in once, posteriors out once. Everything else VPU.
 
-Semantics identical to ``bp_decode(..., method='min-sum',
-backend='roll')`` with ``weights=None`` (verified by equivalence tests in
-interpret mode and on device).
+Feature coverage (round 2): **per-codeword early termination** — each
+lane (codeword) freezes at its first syndrome-satisfying state and the
+whole tile exits once all 128 lanes are done (vs. the roll backend's
+old whole-batch exit, which forfeit the saving to one stubborn
+codeword); **message quantization** (``msg_qbits``/``msg_qclip``, the
+quantized-min-sum decoder study); **bf16 message storage** (halves VMEM
+→ headroom for bigger tiles / codes). Semantics identical to
+``bp_decode(..., backend='roll')`` with ``weights=None`` (equivalence
+tests in interpret mode and on device).
 """
 
 from __future__ import annotations
@@ -39,15 +47,29 @@ _BIG = 1e30
 
 
 def _roll(x: jnp.ndarray, shift: int) -> jnp.ndarray:
-    """Static cyclic shift along axis 0 (z axis) of a (z, tile) plane."""
+    """Static cyclic shift along axis 0 (z axis) of a (z, tile) plane.
+
+    Mosaic's rotate supports 32-bit data only ("Rotate with non-32-bit
+    data" — observed on v5e); bf16 planes roll through an f32 view
+    (exact: bf16 ⊂ f32, and the cast is one VPU op either side while
+    the *storage* stays bf16 — the VMEM saving is what matters).
+    """
     if shift % x.shape[0] == 0:
         return x
+    if x.dtype.itemsize < 4:
+        return pltpu.roll(
+            x.astype(jnp.float32), shift=shift % x.shape[0], axis=0
+        ).astype(x.dtype)
     return pltpu.roll(x, shift=shift % x.shape[0], axis=0)
 
 
 def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                   beta: float, method: str = "min-sum",
-                  clamp: float | None = None):
+                  clamp: float | None = None,
+                  early_stop: bool = False,
+                  msg_qbits: int | None = None,
+                  msg_qclip: float = 20.0,
+                  dtype=jnp.float32):
     planes, group_c, group_v = qc_plan(qc)
     mb, nb, z = qc.mb, qc.nb, qc.z
     dc_max = max(len(g) for g in group_c)
@@ -73,13 +95,13 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
         for k in range(len(ps), dc_max)
     ]
 
-    def kernel(llr_ref, out_ref, msg_ref):
-        # llr_ref/out_ref: (nb, z, T); msg_ref: (mb, dc_max, z, T).
-        # ONE message buffer: each slot (i, k) belongs to exactly one
-        # variable block, so the variable update reads c2v from a slot
-        # and writes v2c back to the same slot in place. Padding slots
-        # (check rows of degree < dc_max) are forced back to +_BIG after
-        # every check update so they stay inert for min-sum.
+    def kernel(llr_ref, *rest):
+        if early_stop:
+            out_ref, iters_ref, msg_ref, post_ref = rest
+        else:
+            out_ref, msg_ref, post_ref = rest
+        # llr_ref/out_ref/post_ref: (nb, z, T); msg_ref: (mb, dc_max, z, T)
+        tile = llr_ref.shape[-1]
         msg_ref[...] = jnp.zeros_like(msg_ref)
 
         def stamp_pads():
@@ -91,26 +113,64 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
 
         stamp_pads()
 
-        def one_iteration(_, carry):
-            # -- variable update: per variable block, in place --------
+        # sub-32-bit dtypes are *storage only*: Mosaic on v5e lacks
+        # bf16 lowerings for rotate/compare/reduce-index, so every load
+        # lifts to f32 (one VPU cast) and every store truncates back.
+        # The VMEM halving — the reason to run bf16 — is unaffected.
+        f32 = jnp.float32
+
+        def ld(x):
+            return x.astype(f32) if x.dtype != f32 else x
+
+        def write_posterior():
+            """post_ref[j] = llr_j + Σ c2v messages (variable orientation).
+
+            Also the first half of the variable update: the exclusive sum
+            for slot (i,k,s) of block j is roll(post[j], −s) − msg[i,k].
+            """
             for j in range(nb):
-                rolled = []
-                acc = llr_ref[j]
+                acc = ld(llr_ref[j])
                 for (i, k, s) in var_slots[j]:
-                    r = _roll(msg_ref[i, k], s)  # var orientation
-                    rolled.append(r)
-                    acc = acc + r
-                for (i, k, s), r in zip(var_slots[j], rolled):
-                    msg_ref[i, k] = _roll(acc - r, -s)
-            # -- check update: all checks at once ---------------------
-            v = msg_ref[...]
+                    acc = acc + _roll(ld(msg_ref[i, k]), s)
+                post_ref[j] = acc.astype(dtype)
+
+        def syndrome_unsat():
+            """Per-lane count of unsatisfied checks, shape (1, tile)."""
+            bits = [
+                (ld(post_ref[j]) < 0).astype(jnp.int32) for j in range(nb)
+            ]
+            unsat = jnp.zeros((1, tile), jnp.int32)
+            for i in range(mb):
+                par = None
+                for p in group_c[i]:
+                    _, j, s = planes[p]
+                    # check i·z+r sees variable j·z+(r+s): roll by −s
+                    b = _roll(bits[j], -s)
+                    par = b if par is None else par + b
+                unsat = unsat + jnp.sum(par & 1, axis=0, keepdims=True)
+            return unsat
+
+        def update(done):
+            """One BP iteration; lanes with done≠0 keep their messages."""
+            keep = None if done is None else (done > 0)
+            # -- variable update, in place (reads post_ref) ------------
+            for j in range(nb):
+                for (i, k, s) in var_slots[j]:
+                    new = (
+                        _roll(ld(post_ref[j]), -s) - ld(msg_ref[i, k])
+                    ).astype(dtype)
+                    if keep is not None:
+                        new = jnp.where(keep, msg_ref[i, k], new)
+                    msg_ref[i, k] = new
+            # -- check update: all checks at once ----------------------
+            v = ld(msg_ref[...])
             a = jnp.abs(v)
             neg = (v < 0).astype(jnp.int32)
             # sign product as sum-of-sign-bits parity (reduce_prod has no
             # Pallas TPU lowering): exclusive parity = (Σ neg − neg) mod 2
             nneg = jnp.sum(neg, axis=1, keepdims=True)
             exneg = (nneg - neg) & 1
-            exsign = 1.0 - 2.0 * exneg.astype(jnp.float32)
+            exsign = 1.0 - 2.0 * exneg.astype(f32)
             if method == "min-sum":
                 min1 = jnp.min(a, axis=1, keepdims=True)
                 idx = jnp.argmin(a, axis=1)
@@ -140,18 +200,57 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                 )
             if clamp is not None:
                 out = jnp.clip(out, -clamp, clamp)
+            if msg_qbits is not None:
+                step = 2.0 * msg_qclip / (2**msg_qbits - 1)
+                q = jnp.round(out / step) * step
+                out = jnp.clip(q, -msg_qclip, msg_qclip)
+            out = out.astype(dtype)
+            if keep is not None:
+                out = jnp.where(keep[None, None], msg_ref[...], out)
             msg_ref[...] = out
             stamp_pads()
-            return carry
 
-        jax.lax.fori_loop(0, iterations, one_iteration, 0)
+        write_posterior()  # posterior of the zero-message state = LLRs
 
-        # -- posterior ------------------------------------------------
+        if early_stop:
+            # per-lane termination: a lane freezes at its first
+            # syndrome-satisfying state; the tile exits when all lanes
+            # are done. iters[lane] = BP iterations actually applied.
+            unsat0 = syndrome_unsat()
+            done0 = (unsat0 == 0).astype(jnp.int32)
+            iters0 = jnp.where(done0 > 0, 0, iterations).astype(jnp.int32)
+
+            def cond(carry):
+                it, done, _ = carry
+                return jnp.logical_and(
+                    it < iterations, jnp.sum(done) < tile
+                )
+
+            def body(carry):
+                it, done, iters = carry
+                update(done)
+                write_posterior()
+                newly = jnp.logical_and(
+                    syndrome_unsat() == 0, done == 0
+                )
+                iters = jnp.where(newly, it + 1, iters)
+                done = jnp.where(newly, 1, done)
+                return it + 1, done, iters
+
+            _, _, iters = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), done0, iters0)
+            )
+            iters_ref[...] = iters
+        else:
+            def one_iteration(_, carry):
+                update(None)
+                write_posterior()
+                return carry
+
+            jax.lax.fori_loop(0, iterations, one_iteration, 0)
+
         for j in range(nb):
-            acc = llr_ref[j]
-            for (i, k, s) in var_slots[j]:
-                acc = acc + _roll(msg_ref[i, k], s)
-            out_ref[j] = acc
+            out_ref[j] = post_ref[j]
 
     return kernel, (mb, dc_max, nb, z)
 
@@ -159,7 +258,8 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
 @functools.partial(
     jax.jit,
     static_argnames=("qc", "iterations", "method", "alpha", "beta",
-                     "clamp", "tile", "output", "interpret"),
+                     "clamp", "early_stop", "msg_qbits", "msg_qclip",
+                     "tile", "output", "dtype", "interpret"),
 )
 def bp_qc_pallas(
     llr: jnp.ndarray,
@@ -169,62 +269,95 @@ def bp_qc_pallas(
     alpha: float = 1.0,
     beta: float = 0.0,
     clamp: float | None = None,
+    early_stop: bool = False,
+    msg_qbits: int | None = None,
+    msg_qclip: float = 20.0,
     tile: int = 128,
     output: str = "hard",
+    dtype=jnp.float32,
     interpret: bool = False,
 ):
     """(batch, n) channel LLRs (log Pr1/Pr0) → hard bits / posterior.
 
     ``method``: 'min-sum' or 'sum-product' (stable log-domain). batch
     must be a multiple of ``tile`` (lane-axis tile, default 128).
+    ``early_stop``: per-codeword syndrome termination (lane freeze +
+    whole-tile exit); with ``output='hard_iters'`` returns
+    ``(bits, iters)`` where ``iters[b]`` is the number of BP iterations
+    codeword ``b`` actually ran. ``dtype``: message storage dtype
+    (float32 or bfloat16 — bf16 halves VMEM residency).
     """
     if method not in ("min-sum", "sum-product"):
         raise ValueError(f"unsupported kernel method {method!r}")
+    if output == "hard_iters" and not early_stop:
+        raise ValueError("output='hard_iters' requires early_stop=True")
     B, n = llr.shape
     z, nb = qc.z, qc.nb
     if n != nb * z:
         raise ValueError("llr width does not match the QC code")
     if B % tile:
         raise ValueError(f"batch {B} not a multiple of tile {tile}")
+    dtype = jnp.dtype(dtype)
 
     kernel, (mb, dc_max, nb, z) = _build_kernel(
-        qc, iterations, alpha, beta, method, clamp
+        qc, iterations, alpha, beta, method, clamp,
+        early_stop=early_stop, msg_qbits=msg_qbits, msg_qclip=msg_qclip,
+        dtype=dtype,
     )
 
     # internal convention log(Pr0/Pr1), variable-block-major planes
-    lv = (-llr.T).reshape(nb, z, B).astype(jnp.float32)
+    lv = (-llr.T).reshape(nb, z, B).astype(dtype)
 
-    # scratch (mb·dc_max·z·tile f32) + double-buffered in/out blocks exceed
-    # the 16 MB default scoped-vmem budget even at tile=128 on (1944,972);
-    # raise the cap toward the chip's physical VMEM (v5e: 128 MB).
-    vmem_bytes = 4 * (
+    # scratch (msg + posterior planes) + double-buffered in/out blocks
+    # exceed the 16 MB default scoped-vmem budget at tile=128 on
+    # (1944,972); raise the cap toward the chip's physical VMEM
+    # (v5e: 128 MB).
+    itemsize = dtype.itemsize
+    vmem_bytes = itemsize * (
         2 * 2 * nb * z * tile  # in + out blocks, double-buffered
-        + mb * dc_max * z * tile  # message scratch
+        + (mb * dc_max + nb) * z * tile  # message + posterior scratch
     )
     params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary",),
         vmem_limit_bytes=min(max(32 * 2**20, 2 * vmem_bytes), 100 * 2**20),
     )
-    post = pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct((nb, z, B), dtype)]
+    out_specs = [
+        pl.BlockSpec((nb, z, tile), lambda b: (0, 0, b),
+                     memory_space=pltpu.VMEM),
+    ]
+    if early_stop:
+        out_shape.append(jax.ShapeDtypeStruct((1, B), jnp.int32))
+        out_specs.append(
+            pl.BlockSpec((1, tile), lambda b: (0, b),
+                         memory_space=pltpu.VMEM)
+        )
+    outs = pl.pallas_call(
         kernel,
         grid=(B // tile,),
         in_specs=[
             pl.BlockSpec((nb, z, tile), lambda b: (0, 0, b),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((nb, z, tile), lambda b: (0, 0, b),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, z, B), jnp.float32),
+        out_specs=tuple(out_specs) if early_stop else out_specs[0],
+        out_shape=tuple(out_shape) if early_stop else out_shape[0],
         scratch_shapes=[
-            pltpu.VMEM((mb, dc_max, z, tile), jnp.float32),
+            pltpu.VMEM((mb, dc_max, z, tile), dtype),
+            pltpu.VMEM((nb, z, tile), dtype),
         ],
         compiler_params=params,
         interpret=interpret,
     )(lv)
 
+    post = outs[0] if early_stop else outs
+    iters = outs[1][0] if early_stop else None  # (B,) int32
+
     if output == "posterior":
-        return (-post).reshape(n, B).T
-    return (post.reshape(n, B) < 0).astype(jnp.int8).T
+        return (-post).reshape(n, B).T.astype(jnp.float32)
+    bits = (post.reshape(n, B) < 0).astype(jnp.int8).T
+    if output == "hard_iters":
+        return bits, iters
+    return bits
 
 
 def minsum_qc_pallas(llr, qc, iterations=20, alpha=1.0, beta=0.0,

@@ -255,16 +255,25 @@ def _pallas_eligible(
 ) -> bool:
     """Whether the VMEM-resident Pallas kernel can serve this decode.
 
-    Auto-selection additionally requires output='hard' (the kernel is not
-    differentiable; hard bits carry no gradient anyway) and a real TPU
-    default backend — explicit ``backend='pallas'`` also accepts
-    posterior/soft outputs for inference sweeps.
+    The kernel covers min-sum / sum-product with clamp, per-codeword
+    early stop, message quantization and bf16 storage; it cannot serve
+    neural-BP weights (not differentiable, and weight planes would spill
+    VMEM). Auto-selection additionally requires a hard-decision output
+    (the kernel carries no gradient; hard bits carry none anyway) and a
+    real TPU default backend — explicit ``backend='pallas'`` also
+    accepts posterior/soft outputs for inference sweeps.
     """
     if method not in ("min-sum", "sum-product"):
         return False
-    if early_stop or msg_qbits is not None or weights is not None:
+    if weights is not None:
         return False
-    allowed = ("hard",) if auto else ("hard", "posterior", "soft")
+    if output == "hard_iters" and not early_stop:
+        return False
+    allowed = (
+        ("hard", "hard_iters")
+        if auto
+        else ("hard", "hard_iters", "posterior", "soft")
+    )
     if output not in allowed:
         return False
     if auto:
@@ -305,9 +314,10 @@ def bp_decode(
       alpha, beta: normalization / offset for min-sum.
       clamp: per-iteration c2v message clamp (the reference uses 20,
         ``bp/bp.py:47`` via ``evaluate_snr.py``); None = no clamp.
-      early_stop: stop the whole batch once every codeword satisfies all
-        parity checks (batched syndrome + ``lax.while_loop``). Not
-        combinable with ``weights``.
+      early_stop: per-codeword syndrome termination: each codeword
+        freezes (its messages stop updating) at its first
+        syndrome-satisfying state; the ``lax.while_loop`` exits once
+        every codeword is done. Not combinable with ``weights``.
       msg_qbits/msg_qclip: optional uniform quantization of c2v messages
         each iteration (quantized-decoder study).
       weights: optional neural-BP weight pytree from
@@ -315,7 +325,8 @@ def bp_decode(
       output: 'hard' → (batch, n) int8 bits; 'soft' → (batch, n) Pr(bit=1)
         on the reference's sigmoid-of-half-LLR scale (``bp/bp.py:36-51``);
         'posterior' → (batch, n) posterior log(Pr1/Pr0); 'hard_iters' →
-        (bits, iterations_run).
+        (bits, iters) with iters (batch,) int32 per-codeword iteration
+        counts (constant ``iterations`` unless ``early_stop``).
       backend: 'auto' | 'pallas' | 'roll' | 'dense' | 'gather' (see module
         docs). 'pallas' is the VMEM-resident QC kernel
         (:mod:`ldpc_sims_tpu.kernels.minsum_qc`); auto picks it on TPU for
@@ -366,8 +377,7 @@ def bp_decode(
                                 output):
             raise ValueError(
                 "pallas backend supports method in (min-sum, sum-product), "
-                "no early_stop/msg_qbits/weights, output in (hard, "
-                "posterior, soft)"
+                "no weights, output in (hard, hard_iters, posterior, soft)"
             )
         from ldpc_sims_tpu.kernels.minsum_qc import bp_qc_pallas
 
@@ -380,11 +390,16 @@ def bp_decode(
             )
         out = bp_qc_pallas(
             llr, qc, iterations=iterations, method=method, alpha=alpha,
-            beta=beta, clamp=clamp, tile=tile,
-            output="posterior" if output in ("posterior", "soft") else "hard",
+            beta=beta, clamp=clamp, early_stop=early_stop,
+            msg_qbits=msg_qbits, msg_qclip=msg_qclip, tile=tile,
+            output="posterior" if output in ("posterior", "soft") else output,
+            dtype=dtype,
             # off-TPU (tests, CPU meshes) the kernel runs in interpret mode
             interpret=jax.default_backend() not in ("tpu", "axon"),
         )
+        if output == "hard_iters":
+            bits, iters = out
+            return (bits[:B], iters[:B]) if pad else (bits, iters)
         if pad:
             out = out[:B]
         if output == "soft":
@@ -546,33 +561,46 @@ def bp_decode(
             H_dense[g.edge_check, g.edge_var] = 1
             Hj = jnp.asarray(H_dense)
 
-            def all_satisfied(c2v):
+            def lanes_satisfied(c2v):
                 bits = hard(c2v).astype(jnp.int8)  # (n, B)
                 s = jax.lax.dot_general(
                     Hj, bits,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 ) & 1
-                return jnp.all(s == 0)
+                return jnp.all(s == 0, axis=0)  # (B,)
 
         else:
 
-            def all_satisfied(c2v):
+            def lanes_satisfied(c2v):
                 bits = hard(c2v).astype(jnp.int32)  # (n, B)
                 s = syndrome_from_bits_nb(bits, g)
-                return jnp.all(s == 0)
+                return jnp.all(s == 0, axis=0)  # (B,)
+
+        # per-codeword termination (same semantics as roll/pallas): a
+        # lane freezes at its first syndrome-satisfying state, the loop
+        # exits when every lane is done; iters[b] = iterations lane b ran
+        done0 = lanes_satisfied(c2v0)
+        iters0 = jnp.where(done0, 0, iterations).astype(jnp.int32)
 
         def cond(state):
-            it, c2v, done = state
-            return jnp.logical_and(it < iterations, jnp.logical_not(done))
+            it, _, done, _ = state
+            return jnp.logical_and(
+                it < iterations, jnp.logical_not(jnp.all(done))
+            )
 
         def body(state):
-            it, c2v, _ = state
-            c2v = one_iteration(it, c2v)
-            return it + 1, c2v, all_satisfied(c2v)
+            it, c2v, done, iters = state
+            new = one_iteration(it, c2v)
+            c2v = jnp.where(done[None, None, :], c2v, new)
+            newly = jnp.logical_and(
+                lanes_satisfied(c2v), jnp.logical_not(done)
+            )
+            iters = jnp.where(newly, it + 1, iters)
+            return it + 1, c2v, jnp.logical_or(done, newly), iters
 
-        iters_run, c2v, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), c2v0, jnp.bool_(False))
+        _, c2v, _, iters_run = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), c2v0, done0, iters0)
         )
     else:
         if weights is not None:
@@ -585,7 +613,7 @@ def bp_decode(
             c2v = jax.lax.fori_loop(
                 0, iterations, lambda i, x: one_iteration(i, x), c2v0
             )
-        iters_run = jnp.int32(iterations)
+        iters_run = jnp.full((B,), iterations, jnp.int32)
 
     if output == "posterior":
         return (-posterior(c2v)).T  # back to log(Pr1/Pr0), (B, n)

@@ -243,16 +243,17 @@ def decode_roll(
     def hard_bits(c2v_planes: list) -> jnp.ndarray:
         return (posterior(c2v_planes) < 0).astype(jnp.int8)
 
-    def syndrome_ok(c2v_planes: list) -> jnp.ndarray:
+    def syndrome_lanes(c2v_planes: list) -> jnp.ndarray:
+        """(B,) bool: True where the codeword satisfies every check."""
         bits = hard_bits(c2v_planes).astype(jnp.int32)  # (nb, z, B)
-        ok = jnp.bool_(True)
+        ok = jnp.ones((B,), bool)
         for i in range(mb):
             acc = 0
             for p in group_c[i]:
                 _, j, s = planes[p]
                 # check i·z+r sees variable j·z+(r+s): roll bits by −s
                 acc = acc + jnp.roll(bits[j], -s, axis=0)
-            ok = jnp.logical_and(ok, jnp.all(acc % 2 == 0))
+            ok = jnp.logical_and(ok, jnp.all(acc % 2 == 0, axis=0))
         return ok
 
     zero = [jnp.zeros((z, B), dtype) for _ in range(P)]
@@ -282,34 +283,55 @@ def decode_roll(
             )
 
     if early_stop:
+        # per-codeword termination: a lane freezes (messages stop
+        # updating) at its first syndrome-satisfying state; the loop
+        # exits only when every lane is done. iters[b] = BP iterations
+        # codeword b actually ran (0 if the channel decisions already
+        # satisfy H). Whole-batch exit — the old form — forfeit the
+        # saving to one stubborn codeword at realistic batch sizes.
+        done0 = syndrome_lanes(zero)
+        iters0 = jnp.where(done0, 0, iterations).astype(jnp.int32)
+
         def cond(state):
-            it, _, done = state
-            return jnp.logical_and(it < iterations, jnp.logical_not(done))
+            it, _, done, _ = state
+            return jnp.logical_and(
+                it < iterations, jnp.logical_not(jnp.all(done))
+            )
 
         def body(state):
-            it, c2v, _ = state
-            c2v = one_iter(c2v)  # weights unsupported with early_stop
-            return it + 1, c2v, syndrome_ok(c2v)
+            it, c2v, done, iters = state
+            new = one_iter(c2v)  # weights unsupported with early_stop
+            dmask = done[None, :]
+            c2v = [jnp.where(dmask, o, n) for o, n in zip(c2v, new)]
+            newly = jnp.logical_and(
+                syndrome_lanes(c2v), jnp.logical_not(done)
+            )
+            iters = jnp.where(newly, it + 1, iters)
+            return it + 1, c2v, jnp.logical_or(done, newly), iters
 
-        iters_run, c2v, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), zero, jnp.bool_(False))
+        _, c2v, _, iters_run = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), zero, done0, iters0)
         )
     elif weights is not None:
         c2v = zero
         for it in range(iterations):  # per-iteration weights are static
             c2v = one_iter(c2v, w_planes[it])
-        iters_run = jnp.int32(iterations)
+        iters_run = jnp.full((B,), iterations, jnp.int32)
     else:
         c2v = jax.lax.fori_loop(
             0, iterations, lambda i, x: one_iter(x), zero
         )
-        iters_run = jnp.int32(iterations)
+        iters_run = jnp.full((B,), iterations, jnp.int32)
 
     return _emit(posterior(c2v), iters_run, output, n, B)
 
 
 def _emit(post: jnp.ndarray, iters_run, output: str, n: int, B: int):
-    """(nb, z, B) internal posterior log(Pr0/Pr1) → requested output."""
+    """(nb, z, B) internal posterior log(Pr0/Pr1) → requested output.
+
+    ``iters_run``: (B,) int32 per-codeword iteration counts (constant
+    ``iterations`` when early stop is off).
+    """
     if output == "posterior":
         return (-post).reshape(n, B).T
     if output == "soft":
@@ -366,32 +388,47 @@ def _decode_layered(
 
     if early_stop:
 
-        def syndrome_ok(L):
+        def syndrome_lanes(L):
             bits = [(l < 0).astype(jnp.int32) for l in L]
-            ok = jnp.bool_(True)
+            ok = jnp.ones((B,), bool)
             for i in range(mb):
                 acc = 0
                 for p in group_c[i]:
                     _, j, s = planes[p]
                     acc = acc + jnp.roll(bits[j], -s, axis=0)
-                ok = jnp.logical_and(ok, jnp.all(acc % 2 == 0))
+                ok = jnp.logical_and(ok, jnp.all(acc % 2 == 0, axis=0))
             return ok
 
+        done0 = syndrome_lanes(L0)
+        iters0 = jnp.where(done0, 0, iterations).astype(jnp.int32)
+
         def cond(state):
-            it, _, _, done = state
-            return jnp.logical_and(it < iterations, jnp.logical_not(done))
+            it, _, _, done, _ = state
+            return jnp.logical_and(
+                it < iterations, jnp.logical_not(jnp.all(done))
+            )
 
         def body(state):
-            it, L, c2v, _ = state
-            L, c2v = sweep((L, c2v))
-            return it + 1, L, c2v, syndrome_ok(L)
+            it, L, c2v, done, iters = state
+            # per-codeword freeze (same semantics as the flooding path)
+            Ln, c2vn = sweep((L, c2v))
+            dmask = done[None, :]
+            L = tuple(jnp.where(dmask, o, n) for o, n in zip(L, Ln))
+            c2v = tuple(
+                jnp.where(dmask, o, n) for o, n in zip(c2v, c2vn)
+            )
+            newly = jnp.logical_and(
+                syndrome_lanes(L), jnp.logical_not(done)
+            )
+            iters = jnp.where(newly, it + 1, iters)
+            return it + 1, L, c2v, jnp.logical_or(done, newly), iters
 
-        iters_run, L, _, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), L0, c2v0, jnp.bool_(False))
+        _, L, _, _, iters_run = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), L0, c2v0, done0, iters0)
         )
     else:
         L, _ = jax.lax.fori_loop(
             0, iterations, lambda i, st: sweep(st), (L0, c2v0)
         )
-        iters_run = jnp.int32(iterations)
+        iters_run = jnp.full((B,), iterations, jnp.int32)
     return jnp.stack(L), iters_run

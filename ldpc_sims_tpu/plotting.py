@@ -14,7 +14,7 @@ import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
-__all__ = ["plot_ber_curves", "plot_wmse"]
+__all__ = ["plot_ber_curves", "plot_wmse", "plot_grid"]
 
 _SERIES = [
     ("coded_ber", "Traditional", "C0"),
@@ -52,6 +52,53 @@ def plot_ber_curves(curves: dict, path: str, title: str = "") -> str:
     ax.set_ylabel("BLER")
     ax.grid(True, which="both", alpha=0.3)
     ax.legend()
+    if title:
+        fig.suptitle(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=150)
+    plt.close(fig)
+    return path
+
+
+def plot_grid(grid: dict, path: str, title: str = "") -> str:
+    """Checkpoint-family grid comparison figure.
+
+    One BER panel per qbits value: Traditional vs quantized-LLR vs NN
+    curves over SNR, one line style per clipdb — the figure family the
+    reference assembles from ``evaluate_quantized_grid.py`` output
+    (commented-out variants in ``plots.py:55-228``).
+    """
+    import numpy as np
+
+    snr = grid["snrdb"]
+    qbits = grid["qbits"]
+    clipdb = grid["clipdb"]
+    fig, axes = plt.subplots(
+        1, max(len(qbits), 1), figsize=(5.5 * max(len(qbits), 1), 4.5),
+        squeeze=False,
+    )
+    styles = ["-", "--", ":", "-."]
+    for qi, qb in enumerate(qbits):
+        ax = axes[0][qi]
+        trad = np.asarray(grid["coded_ber"])
+        for ci, cl in enumerate(clipdb):
+            sty = styles[ci % len(styles)]
+            ax.semilogy(snr, trad[:, qi, ci], "k" + sty, alpha=0.6,
+                        label=f"Trad clip={cl:g}dB")
+            for key, lbl, color in [
+                ("coded_ber_qllr", "Quant", "C2"),
+                ("coded_ber_nn", "NN", "C1"),
+            ]:
+                vals = np.asarray(grid[key])[:, qi, ci]
+                if np.isfinite(vals).any():
+                    ax.semilogy(snr, vals, sty, color=color, marker="o",
+                                markersize=3,
+                                label=f"{lbl} clip={cl:g}dB")
+        ax.set_title(f"qbits={qb}")
+        ax.set_xlabel("SNR (dB)")
+        ax.set_ylabel("coded BER")
+        ax.grid(True, which="both", alpha=0.3)
+        ax.legend(fontsize=7)
     if title:
         fig.suptitle(title)
     fig.tight_layout()

@@ -8,5 +8,6 @@ from ldpc_sims_tpu.utils.checkpoint import (  # noqa: F401
 from ldpc_sims_tpu.utils.metrics import (  # noqa: F401
     MetricsLogger,
     PhaseTimer,
+    enable_compilation_cache,
     profile_trace,
 )

@@ -18,7 +18,37 @@ from typing import Any
 
 import jax
 
-__all__ = ["MetricsLogger", "PhaseTimer", "profile_trace"]
+__all__ = [
+    "MetricsLogger",
+    "PhaseTimer",
+    "profile_trace",
+    "enable_compilation_cache",
+]
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    """Turn on JAX's persistent compilation cache.
+
+    The Pallas decode kernel costs minutes of Mosaic compile per
+    (code, iterations, flags) configuration on TPU (BENCH_r01 measured
+    238 s for the (1944,972) bench step); the cache makes every
+    configuration a one-time cost per machine instead of per process.
+    Called by ``bench.py`` and the CLI entry point.
+    """
+    path = path or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(
+            os.environ.get("XDG_CACHE_HOME",
+                           os.path.expanduser("~/.cache")),
+            "ldpc_sims_tpu", "jax_cache",
+        ),
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # anything that takes ≥5 s to compile is worth persisting (the
+    # decode kernels take minutes; tiny host jits stay out of the cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    return path
 
 
 class MetricsLogger:

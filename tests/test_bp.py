@@ -196,11 +196,11 @@ def test_early_stop_matches_fixed(rng):
                                method="min-sum"))
     es, iters = bp_decode(llr, code.graph, iterations=20, method="min-sum",
                           early_stop=True, output="hard_iters")
-    assert int(iters) <= 20
-    # early stop only returns when every frame satisfies parity
+    iters = np.array(iters)
+    assert iters.shape == (8,) and iters.max() <= 20
+    # a lane only freezes early when its frame satisfies parity
     s = np.array(syndrome(jnp.asarray(np.array(es)), code.H))
-    if int(iters) < 20:
-        assert s.sum() == 0
+    assert s[iters < 20].sum() == 0
     np.testing.assert_array_equal(np.array(es), fixed)
 
 

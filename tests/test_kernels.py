@@ -98,3 +98,93 @@ def test_pallas_rejects_ref_method():
     with pytest.raises(ValueError, match="unsupported kernel method"):
         bp_qc_pallas(jnp.zeros((128, w.n)), w.qc, method="sum-product-ref",
                      interpret=True)
+
+
+def test_pallas_early_stop_matches_roll(rng):
+    """Per-codeword early stop: pallas and roll agree on bits AND on the
+    per-lane iteration counts (identical freeze semantics)."""
+    from ldpc_sims_tpu.kernels import bp_qc_pallas
+
+    w = get_code("wifi648")
+    u = rng.integers(0, 2, (128, w.k)).astype(np.uint8)
+    cw = w.encode_np(u)
+    # mixed difficulty: some lanes converge immediately, some never
+    scale = rng.uniform(0.8, 6.0, (128, 1))
+    llr = jnp.asarray((2.0 * cw - 1.0) * scale + rng.normal(0, 1.0, cw.shape),
+                      jnp.float32)
+    bits_p, it_p = bp_qc_pallas(llr, w.qc, iterations=12, method="min-sum",
+                                early_stop=True, output="hard_iters",
+                                interpret=True)
+    bits_r, it_r = bp_decode(llr, w, iterations=12, method="min-sum",
+                             early_stop=True, output="hard_iters",
+                             backend="roll")
+    np.testing.assert_array_equal(np.array(it_p), np.array(it_r))
+    np.testing.assert_array_equal(np.array(bits_p), np.array(bits_r))
+    it = np.array(it_p)
+    assert it.min() < 12 and it.shape == (128,)
+
+
+def test_pallas_early_stop_posterior_freeze(rng):
+    """Frozen lanes keep their converged posterior: decoding clean
+    codewords with early stop yields the codeword with iters == 0."""
+    from ldpc_sims_tpu.kernels import bp_qc_pallas
+
+    w = get_code("wifi648")
+    u = rng.integers(0, 2, (128, w.k)).astype(np.uint8)
+    cw = w.encode_np(u)
+    llr = jnp.asarray((2.0 * cw - 1.0) * 8.0, jnp.float32)
+    bits, iters = bp_qc_pallas(llr, w.qc, iterations=10, method="min-sum",
+                               early_stop=True, output="hard_iters",
+                               interpret=True)
+    np.testing.assert_array_equal(np.array(bits), cw)
+    assert np.array(iters).max() == 0
+
+
+def test_pallas_msg_quantization_matches_roll(rng):
+    from ldpc_sims_tpu.kernels import bp_qc_pallas
+
+    w = get_code("wifi648")
+    llr = jnp.asarray(rng.normal(0, 3, (128, w.n)), jnp.float32)
+    kw = dict(iterations=5, method="min-sum", clamp=20.0, msg_qbits=4,
+              msg_qclip=16.0)
+    a = np.array(bp_qc_pallas(llr, w.qc, output="posterior",
+                              interpret=True, **kw))
+    b = np.array(bp_decode(llr, w, output="posterior", backend="roll",
+                           **kw))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_bf16_messages(rng):
+    """bf16 message storage: statistically equivalent min-sum decode."""
+    from ldpc_sims_tpu.kernels import bp_qc_pallas
+
+    w = get_code("wifi648")
+    u = rng.integers(0, 2, (128, w.k)).astype(np.uint8)
+    cw = w.encode_np(u)
+    llr = jnp.asarray((2.0 * cw - 1.0) * 2.5 + rng.normal(0, 1.2, cw.shape),
+                      jnp.float32)
+    b16 = np.array(bp_qc_pallas(llr, w.qc, iterations=10, method="min-sum",
+                                dtype=jnp.bfloat16, interpret=True))
+    b32 = np.array(bp_qc_pallas(llr, w.qc, iterations=10, method="min-sum",
+                                interpret=True))
+    assert abs(float(np.mean(b16 != cw)) - float(np.mean(b32 != cw))) < 5e-3
+
+
+def test_pallas_dispatch_early_stop_and_quant(rng):
+    """bp_decode(backend='pallas') now serves early_stop and msg_qbits
+    (VERDICT r1 item 1): pad-to-tile with hard_iters trimming."""
+    w = get_code("wifi648")
+    u = rng.integers(0, 2, (5, w.k)).astype(np.uint8)
+    cw = w.encode_np(u)
+    llr = jnp.asarray((2.0 * cw - 1.0) * 6.0, jnp.float32)
+    bits, iters = bp_decode(llr, w, iterations=8, method="min-sum",
+                            early_stop=True, output="hard_iters",
+                            backend="pallas")
+    assert np.array(bits).shape == (5, w.n)
+    assert np.array(iters).shape == (5,)
+    np.testing.assert_array_equal(np.array(bits), cw)
+    q = bp_decode(llr, w, iterations=4, method="min-sum", msg_qbits=3,
+                  backend="pallas")
+    qr = bp_decode(llr, w, iterations=4, method="min-sum", msg_qbits=3,
+                   backend="roll")
+    np.testing.assert_array_equal(np.array(q), np.array(qr))
