@@ -151,7 +151,11 @@ def cmd_sweep(args) -> None:
         manifest = args.manifest or os.path.join(
             args.out, f"{stamp}_sweep{tag}.json"
         )
-        result = run_sweep(code, link_q, sweep, manifest_path=manifest)
+        from ldpc_sims_tpu.utils import MetricsLogger
+
+        metrics = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
+        result = run_sweep(code, link_q, sweep, manifest_path=manifest,
+                           metrics=metrics)
         out = {
             "code": code.name,
             "link": dataclasses.asdict(link_q),
@@ -277,8 +281,12 @@ def cmd_train_grid(args) -> None:
         learning_rate=args.lr, num_epochs=args.epochs,
         batch_size=args.batch, seed=args.seed,
     )
+    tcq = dataclasses.replace(
+        tc, learning_rate=args.quant_lr if args.quant_lr > 0 else args.lr
+    )
     manifest = train_grid(
         code,
+        train_cfg_quantized=tcq,
         snrdb_grid=_parse_snr(args.snr),
         qbits_grid=tuple(int(q) for q in args.qbits_grid.split(",") if q),
         clipdb_grid=tuple(
@@ -384,6 +392,32 @@ def cmd_evaluate(args) -> None:
             print("figure ->",
                   plot_wmse(curves,
                             os.path.join(args.out, f"{stamp}_wmse.png")))
+
+
+def cmd_scaling_probe(args) -> None:
+    """Weak-scaling efficiency probe (BASELINE ≥90% scaling evidence)."""
+    from ldpc_sims_tpu.parallel import scaling_probe
+
+    code = get_code(args.code)
+    link = _link_cfg_from_args(args)
+    counts = tuple(int(c) for c in args.devices.split(","))
+    probe = scaling_probe(
+        code, link, per_dev_cw=args.per_dev_cw, device_counts=counts,
+        steps=args.steps, snrdb=args.snrdb, seed=args.seed,
+    )
+    os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(
+        args.out, f"{time.strftime('%Y%m%d-%H%M%S')}_scaling.json"
+    )
+    with open(path, "w") as f:
+        json.dump(probe, f, indent=1)
+    for i, nd in enumerate(probe["devices"]):
+        print(
+            f"devices={nd}: {probe['bits_per_s'][i]:.3e} bits/s, "
+            f"efficiency={probe['efficiency'][i]:.2f}, "
+            f"host overhead={probe['host_frac'][i] * 100:.1f}%"
+        )
+    print(f"probe -> {path}")
 
 
 def cmd_generate_data(args) -> None:
@@ -537,6 +571,9 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--qbits-grid", default="1,3,5")
     sp.add_argument("--clipdb-grid", default="0,5")
     sp.add_argument("--lr", type=float, default=0.01)
+    sp.add_argument("--quant-lr", type=float, default=0.0,
+                    help="stage-2 learning rate (<=0: same as --lr; the "
+                         "reference uses 0.1, quantized.py:14)")
     sp.add_argument("--epochs", type=int, default=100)
     sp.add_argument("--batch", type=int, default=4096)
     sp.add_argument("--num-codewords", type=int, default=4096)
@@ -581,6 +618,15 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--snr", default="0:6:4")
     sp.add_argument("--batch", type=int, default=1024)
     sp.set_defaults(fn=cmd_evaluate_joint)
+
+    sp = sub.add_parser("scaling-probe",
+                        help="weak-scaling throughput/efficiency probe")
+    _add_common(sp)
+    sp.add_argument("--devices", default="1,2,4,8")
+    sp.add_argument("--per-dev-cw", type=int, default=512)
+    sp.add_argument("--steps", type=int, default=3)
+    sp.add_argument("--snrdb", type=float, default=3.0)
+    sp.set_defaults(fn=cmd_scaling_probe)
 
     sp = sub.add_parser("generate-data", help="write a dataset .npz")
     _add_common(sp)

@@ -68,12 +68,14 @@ def quantization_noise_study(
                     jnp.asarray(snrdb, jnp.float32), code, cfg,
                     num_codewords, return_arrays=True,
                 )
-                # tx samples = rx − awgn is unavailable; use q(rx) − rx,
-                # the quantizer's own error, plus q(rx) − tx-estimate via
-                # the clean rx (noise_test compares against tx_signal;
-                # q − rx isolates the ADC contribution)
-                err = np.asarray(out["q_time"] - out["rx_time"]).ravel()
+                # the reference quantity (noise_test.py:44):
+                # q(rx) − tx — channel noise + ADC error combined
+                err = np.asarray(out["q_time"] - out["tx_time"]).ravel()
                 re = err.real
+                # plus the ADC-only contribution q(rx) − rx, which the
+                # combined histogram can't separate
+                adc = np.asarray(out["q_time"] - out["rx_time"]).ravel()
+                re_adc = adc.real
                 hist, edges = np.histogram(re, bins=bins)
                 records.append({
                     "snrdb": float(snrdb),
@@ -82,6 +84,8 @@ def quantization_noise_study(
                     "mean": float(re.mean()),
                     "std": float(re.std()),
                     "max_abs": float(np.abs(re).max()),
+                    "std_adc": float(re_adc.std()),
+                    "max_abs_adc": float(np.abs(re_adc).max()),
                     "hist": hist.tolist(),
                     "bin_edges": edges.tolist(),
                 })

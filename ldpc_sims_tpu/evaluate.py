@@ -62,18 +62,45 @@ def evaluate_sweep(
     model=None,
     params: Any | None = None,
     log: Callable[[str], None] | None = print,
+    mesh=None,
 ) -> dict[str, list]:
     """Run the evaluation sweep; returns curves as plain lists (JSON-able).
 
     With ``model=None`` only the Traditional (and quantized, if
     ``link_cfg.qbits``) curves are produced — the ``ber_test.py`` classic
     sweep. With a model, adds the NN curves and WMSE.
+
+    The per-point step is sharded over the device mesh like
+    ``run_sweep``: the key fans out per device inside the jit, counts
+    sum and WMSE means average across shards — so NN-floor resolution
+    scales with chips. Falls back to one shard when ``num_codewords``
+    doesn't tile the mesh (or the per-shard slice would not tile the
+    OFDM grouping).
     """
+    import math
+
+    from ldpc_sims_tpu.ops.chain import BITS_PER_SYMBOL
+    from ldpc_sims_tpu.parallel.mesh import (
+        batch_sharding,
+        local_batch_multiple,
+        make_mesh,
+    )
+
     k = code.k
+
+    if mesh is None:
+        mesh = make_mesh()
+    n_dev = local_batch_multiple(mesh)
+    sym_per_cw = code.n // BITS_PER_SYMBOL[link_cfg.modulation]
+    g = math.lcm(sym_per_cw, link_cfg.ofdm_size) // sym_per_cw
+    if eval_cfg.num_codewords % (n_dev * g):
+        n_dev = 1  # fallback: single shard (tiny eval batches in tests)
+    per_dev = eval_cfg.num_codewords // n_dev
+    shard = batch_sharding(mesh)
 
     def point_step(key, snrdb):
         out = link_step(
-            key, snrdb, code, link_cfg, eval_cfg.num_codewords,
+            key, snrdb, code, link_cfg, per_dev,
             return_arrays=True,
         )
         coded = out["coded"]
@@ -122,7 +149,21 @@ def evaluate_sweep(
             decode_count(est_sym.reshape(-1, code.n), "nn")
         return res
 
-    step = jax.jit(point_step)
+    def sharded_step(key, snrdb):
+        if n_dev == 1:
+            return point_step(key, snrdb)
+        keys = jax.lax.with_sharding_constraint(
+            jax.random.split(key, n_dev), shard
+        )
+        outs = jax.vmap(lambda kk: point_step(kk, snrdb))(keys)
+        # counts sum across shards; WMSE is a mean of equal-size shard
+        # means → averaging is exact
+        return {
+            kk: (jnp.mean(v) if kk.startswith("wmse") else jnp.sum(v))
+            for kk, v in outs.items()
+        }
+
+    step = jax.jit(sharded_step)
     master = jax.random.key(eval_cfg.seed)
 
     curves: dict[str, list] = {"snrdb": list(eval_cfg.snrdb)}

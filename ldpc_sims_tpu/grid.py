@@ -59,6 +59,7 @@ def train_grid(
     clipdb_grid: tuple[float, ...],
     train_cfg,
     *,
+    train_cfg_quantized=None,
     ofdm_size: int = 32,
     num_codewords: int = 4096,
     out_dir: str = "outputs",
@@ -72,8 +73,12 @@ def train_grid(
     SNR point on clean channel data. Stage 2 (``quantized.py:48-75``):
     per (qbits, clipdb, snr) cell, warm-start from the stage-1 model at
     the same SNR and train on quantized inputs against clean-LLR
-    targets. Returns the family manifest (ids → checkpoint paths).
+    targets — with its own config ``train_cfg_quantized`` when given
+    (the reference uses lr=0.01 unquantized, lr=0.1 quantized:
+    ``unquantized.py:13`` vs ``quantized.py:14``). Returns the family
+    manifest (ids → checkpoint paths).
     """
+    train_cfg_quantized = train_cfg_quantized or train_cfg
     from ldpc_sims_tpu.models import LLRestimator
     from ldpc_sims_tpu.training import make_llr_dataset, train_llr
     from ldpc_sims_tpu.utils import load_checkpoint
@@ -112,6 +117,7 @@ def train_grid(
         x, y = make_llr_dataset(
             cell_key, code, link, num_codewords, snrdb=snrdb
         )
+        tcfg = train_cfg if stage == "unquantized" else train_cfg_quantized
         model = LLRestimator(ofdm_size)
         init = None
         if warm_ckpt:
@@ -124,7 +130,7 @@ def train_grid(
         if log:
             log(f"[train-grid] train {tag}")
         train_llr(
-            model, x, y, train_cfg, init_params=init, ckpt_dir=ckpt,
+            model, x, y, tcfg, init_params=init, ckpt_dir=ckpt,
             log=None,
             manifest={
                 "model": "LLRestimator", "code": code.name,

@@ -240,6 +240,7 @@ def link_step(
         out["llrs"] = llrs
         out["coded"] = coded
         out["rx_time"] = strip(rx_time)
+        out["tx_time"] = strip(tx_time)  # noise_test.py compares q−tx
         out["snr_sym"] = jnp.broadcast_to(snr, (rows, n_ofdm)) if not (
             cfg.snr_per_symbol
         ) else snr

@@ -13,4 +13,5 @@ from ldpc_sims_tpu.parallel.mc import (  # noqa: F401
     mc_step,
     run_grid,
     run_sweep,
+    scaling_probe,
 )

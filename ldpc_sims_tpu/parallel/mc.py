@@ -29,7 +29,14 @@ from ldpc_sims_tpu.parallel.mesh import (
     make_mesh,
 )
 
-__all__ = ["SweepConfig", "SweepResult", "run_sweep", "mc_step", "run_grid"]
+__all__ = [
+    "SweepConfig",
+    "SweepResult",
+    "run_sweep",
+    "mc_step",
+    "run_grid",
+    "scaling_probe",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,10 +89,15 @@ def mc_step(
 ) -> Callable:
     """Build the jitted sharded Monte-Carlo step: (key, snrdb) → counts.
 
-    The key is split over mesh devices; each shard simulates its slice of
-    the batch fully on-device and the scalar counters reduce with
-    XLA-inserted collectives (the ``psum`` of SURVEY.md §5.7 — emitted by
-    the compiler from the sharding annotations, not hand-written).
+    The step takes one *replicated scalar* PRNG key; the per-device key
+    fan-out (``jax.random.split`` + a sharding constraint) happens
+    INSIDE the jit. This is the multi-controller-safe formulation: every
+    process feeds the same scalar key (derived from the shared seed), no
+    host ever materializes a mesh-spanning array, and XLA shards the
+    split across the mesh. Each shard simulates its slice of the batch
+    fully on-device and the scalar counters reduce with XLA-inserted
+    collectives (the ``psum`` of SURVEY.md §5.7 — emitted by the
+    compiler from the sharding annotations, not hand-written).
     """
     if mesh is None:
         mesh = make_mesh()
@@ -95,21 +107,19 @@ def mc_step(
     per_dev = batch_cw // n_dev
     shard = batch_sharding(mesh)
 
-    def step(keys: jax.Array, snrdb: jax.Array):
+    def step(key: jax.Array, snrdb: jax.Array):
+        keys = jax.lax.with_sharding_constraint(
+            jax.random.split(key, n_dev), shard
+        )
         outs = jax.vmap(
             lambda k: link_step(k, snrdb, code, cfg, per_dev, weights=weights)
         )(keys)
         return {k: jnp.sum(outs[k]) for k in _COUNT_KEYS}
 
-    jitted = jax.jit(
-        step,
-        in_shardings=(shard, None),
-        out_shardings=None,
-    )
+    jitted = jax.jit(step)
 
     def run(key: jax.Array, snrdb: float):
-        keys = jax.random.split(key, n_dev)
-        return jitted(keys, jnp.asarray(snrdb, jnp.float32))
+        return jitted(key, jnp.asarray(snrdb, jnp.float32))
 
     return run
 
@@ -122,6 +132,8 @@ def run_sweep(
     weights: Any | None = None,
     manifest_path: str | None = None,
     log: Callable[[str], None] | None = print,
+    metrics: Any | None = None,
+    save_every_s: float = 20.0,
 ) -> SweepResult:
     """Run (or resume) a BER/BLER sweep; returns per-point rates.
 
@@ -129,7 +141,10 @@ def run_sweep(
     — an interrupted sweep resumes from it (idempotent; finished points
     are skipped). This replaces the reference's pickle-registry provenance
     chain (``outputs/results`` timestamp pointers, SURVEY.md §C15) with an
-    explicit, restartable manifest.
+    explicit, restartable manifest. Manifest writes happen at most every
+    ``save_every_s`` seconds and at point boundaries — off the hot step
+    path. ``metrics``: optional :class:`~ldpc_sims_tpu.utils.MetricsLogger`
+    receiving one event per step and per finished point.
     """
     step = mc_step(code, link_cfg, sweep.batch_cw, mesh, weights)
 
@@ -147,6 +162,7 @@ def run_sweep(
 
     result = SweepResult([], [], [], [], [], [], [])
     master = jax.random.key(sweep.seed)
+    last_save = time.perf_counter()
 
     for i, snrdb in enumerate(sweep.snrdb):
         pkey = f"{snrdb:g}"
@@ -160,13 +176,23 @@ def run_sweep(
             t0 = time.perf_counter()
             counts = step(skey, snrdb)
             counts = {k: float(v) for k, v in counts.items()}
-            acc["wall_s"] += time.perf_counter() - t0
+            dt = time.perf_counter() - t0
+            acc["wall_s"] += dt
             for k in _COUNT_KEYS:
                 acc[k] += counts[k]
             acc["steps"] += 1
             state["points"][pkey] = acc
-            save()
+            if metrics is not None:
+                metrics.log("sweep-step", snrdb=float(snrdb), wall_s=dt,
+                            **counts)
+            if time.perf_counter() - last_save >= save_every_s:
+                save()
+                last_save = time.perf_counter()
 
+        save()  # point boundary: persist before moving on
+        last_save = time.perf_counter()
+        if metrics is not None:
+            metrics.log("sweep-point", snrdb=float(snrdb), **acc)
         result.snrdb.append(float(snrdb))
         result.uncoded_ber.append(acc["uncoded_bit_errors"] / acc["uncoded_bits"])
         result.coded_ber.append(acc["coded_bit_errors"] / acc["info_bits"])
@@ -243,6 +269,66 @@ def run_grid(
     with mesh:
         counts = jitted(keys, snrs)
     return {k: np.asarray(v) for k, v in counts.items()}
+
+
+def scaling_probe(
+    code: LdpcCode,
+    cfg: LinkConfig,
+    per_dev_cw: int = 512,
+    device_counts: tuple[int, ...] = (1, 2, 4, 8),
+    steps: int = 3,
+    snrdb: float = 3.0,
+    seed: int = 0,
+) -> dict[str, Any]:
+    """Weak-scaling efficiency probe: bits/s at N devices, fixed
+    per-device batch (the ≥90%-scaling evidence BASELINE.json demands).
+
+    On real multi-chip hardware ``efficiency[N] = rate(N)/(N·rate(1))``
+    is the headline number. On a *virtual* CPU mesh the N devices share
+    physical cores, so absolute efficiency is meaningless there — what
+    the probe still catches is host-side serialization: ``host_frac`` is
+    the fraction of wall time spent outside the jitted step (key
+    folding, Python bookkeeping, result fetches), the thing that would
+    actually cap multi-host scaling since the collective itself is one
+    scalar psum. Returns per-N rates, efficiencies and host fractions.
+    """
+    devs = jax.devices()
+    out: dict[str, Any] = {
+        "devices": [], "bits_per_s": [], "efficiency": [],
+        "host_frac": [], "per_dev_cw": per_dev_cw, "steps": steps,
+    }
+    base_rate = None
+    for nd in device_counts:
+        if nd > len(devs):
+            break
+        mesh = make_mesh(devices=devs[:nd])
+        step = mc_step(code, cfg, per_dev_cw * nd, mesh)
+        key = jax.random.key(seed)
+        # warmup/compile (incl. the fold_in trace — its one-time compile
+        # must not pollute the host-overhead measurement)
+        jax.block_until_ready(jax.tree.leaves(step(key, snrdb)))
+        skeys = [jax.random.fold_in(key, i) for i in range(steps)]
+        jax.block_until_ready(skeys)
+        t_total = time.perf_counter()
+        t_step = 0.0
+        frames = 0.0
+        for i in range(steps):
+            skey = skeys[i]
+            t0 = time.perf_counter()
+            counts = step(skey, snrdb)
+            jax.block_until_ready(jax.tree.leaves(counts))
+            t_step += time.perf_counter() - t0
+            frames += float(counts["frames"])
+        t_total = time.perf_counter() - t_total
+        assert frames == per_dev_cw * nd * steps  # counts must scale
+        rate = per_dev_cw * nd * steps * code.k / t_step
+        if base_rate is None:
+            base_rate = rate
+        out["devices"].append(nd)
+        out["bits_per_s"].append(rate)
+        out["efficiency"].append(rate / (base_rate * nd))
+        out["host_frac"].append(max(0.0, (t_total - t_step) / t_total))
+    return out
 
 
 def _point_done(acc: dict[str, float], sweep: SweepConfig) -> bool:

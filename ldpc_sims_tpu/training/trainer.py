@@ -9,8 +9,9 @@ train step per recipe plus a shared loop:
 * weighted-MSE loss with ε = 1e-3 (``:70``; the reference writes
   ``10e-4``),
 * per-epoch permutation shuffle (``:53-56``),
-* every-10-epochs eval on a random 2¹⁰ subset with the flipped-sign
-  diagnostics (``:86-108``),
+* every-10-epochs eval with the flipped-sign diagnostics (``:86-108``) —
+  on a *held-out* slice (the reference samples its eval set from the
+  training data, ``:86-90``; see ``TrainConfig.holdout_fraction``),
 * warm start from a checkpoint (``load_model`` argument, ``:40-45``),
 * checkpoint save with metadata manifest (replacing the
   hyperparameters-in-filename scheme, ``:118-130``).
@@ -47,6 +48,13 @@ class TrainConfig:
     batch_size: int = 4096
     eval_every: int = 10
     eval_samples: int = 1024
+    # fraction of samples held out of training for the periodic eval.
+    # NOTE the reference evaluates on a random subset of the *training*
+    # data (``ofdm/ofdm_nn.py:86-90`` draws np.random.choice over the
+    # same array it trains on), so its test losses are optimistic; a
+    # true holdout is strictly more honest. Set 0.0 for the reference's
+    # behavior.
+    holdout_fraction: float = 1.0 / 16.0
     epsilon: float = 1e-3
     seed: int = 0
     # joint-recipe extras
@@ -78,15 +86,28 @@ def train_llr(
     ckpt_dir: str | None = None,
     manifest: dict | None = None,
     log: Callable[[str], None] | None = print,
+    metrics: Any | None = None,
 ):
     """Train an LLR estimator with weighted MSE (train_nn /
     train_nn_withSNR / train_nn_tanh depending on model + targets).
 
     Returns (params, info) where info holds the loss history.
+    ``metrics``: optional MetricsLogger — one 'train-epoch' event per
+    eval interval (SURVEY.md §5.5 observability).
     """
+    rng = np.random.default_rng(cfg.seed)
+    n_hold = int(input_samples.shape[0] * cfg.holdout_fraction)
+    if n_hold:
+        # held-out eval slice, split once before the epoch loop
+        perm = rng.permutation(input_samples.shape[0])
+        hold, train = perm[:n_hold], perm[n_hold:]
+        hold_x, hold_y = input_samples[hold], output_samples[hold]
+        input_samples = input_samples[train]
+        output_samples = output_samples[train]
+    else:  # reference behavior: eval on training data
+        hold_x, hold_y = input_samples, output_samples
     num_samples = input_samples.shape[0]
     num_batches = max(num_samples // cfg.batch_size, 1)
-    rng = np.random.default_rng(cfg.seed)
 
     params = init_params or model.init(
         jax.random.key(cfg.seed), jnp.asarray(input_samples[:2])
@@ -121,14 +142,19 @@ def train_llr(
             train_loss[epoch] += float(loss) / num_batches
         if epoch % cfg.eval_every == 0:
             idx = rng.choice(
-                num_samples, min(cfg.eval_samples, num_samples),
+                hold_x.shape[0], min(cfg.eval_samples, hold_x.shape[0]),
                 replace=False,
             )
             est, test_loss = evaluate(
-                params, jnp.asarray(input_samples[idx]),
-                jnp.asarray(output_samples[idx]),
+                params, jnp.asarray(hold_x[idx]), jnp.asarray(hold_y[idx])
             )
-            stats = _flipped_stats(np.asarray(est), output_samples[idx])
+            stats = _flipped_stats(np.asarray(est), hold_y[idx])
+            if metrics is not None:
+                metrics.log(
+                    "train-epoch", epoch=epoch,
+                    train_loss=float(train_loss[epoch]),
+                    test_loss=float(test_loss), **stats,
+                )
             if log:
                 log(
                     f"[epoch {epoch + 1}] train_loss: "

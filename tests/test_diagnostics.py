@@ -20,8 +20,11 @@ def test_noise_study_grid_and_moments():
     assert len(recs) == 2
     r1 = next(r for r in recs if r["qbits"] == 1)
     r5 = next(r for r in recs if r["qbits"] == 5)
-    # more ADC bits → lower quantization-noise std
+    # more ADC bits → lower combined-noise std (q−tx, the reference's
+    # noise_test.py:44 quantity: channel noise + ADC error)
     assert r5["std"] < r1["std"]
+    # the ADC-only error (q−rx) is a strict subset of the combined error
+    assert r5["std_adc"] < r5["std"]
     assert sum(r1["hist"]) > 0
 
 
