@@ -110,6 +110,43 @@ def main() -> None:
         flush=True,
     )
 
+    if not os.environ.get("BENCH_SKIP_ES"):
+        # secondary: per-codeword early stop at operating SNR — mean
+        # iterations and effective throughput (the adaptive-decode win
+        # the fixed-trip headline metric cannot show)
+        try:
+            es_batch = min(batch, 8192)
+
+            @jax.jit
+            def es_iters(key):
+                cw_llr = jax.random.normal(
+                    key, (es_batch, code.n), jnp.float32
+                )
+                # codeword-consistent LLRs: all-zero codeword + noise at
+                # ~2.5 dB so syndromes actually converge
+                llr = -(2.4 + cw_llr * 1.4)
+                bits, iters = bp_decode(
+                    llr, code, iterations=ITERATIONS, method="min-sum",
+                    early_stop=True, output="hard_iters",
+                )
+                return jnp.mean(iters.astype(jnp.float32))
+
+            t0 = time.perf_counter()
+            mean_it = float(es_iters(key))
+            log(f"early-stop compile+first: {time.perf_counter() - t0:.1f}s")
+            t0 = time.perf_counter()
+            n_es = max(steps // 2, 1)
+            for i in range(n_es):
+                float(es_iters(jax.random.fold_in(key, 2000 + i)))
+            dt_es = time.perf_counter() - t0
+            es_rate = es_batch * code.k * n_es / dt_es
+            log(
+                f"early-stop @2.5dB: mean iterations {mean_it:.2f}/"
+                f"{ITERATIONS}, {es_rate:.3e} info bits/s"
+            )
+        except Exception as e:  # secondary only — never fail the bench
+            log(f"early-stop benchmark skipped: {e}")
+
     if not os.environ.get("BENCH_CHAIN"):
         return
     # secondary (opt-in): full-chain throughput incl. TX+channel+RX

@@ -280,6 +280,7 @@ def cmd_train_grid(args) -> None:
     tc = TrainConfig(
         learning_rate=args.lr, num_epochs=args.epochs,
         batch_size=args.batch, seed=args.seed,
+        eval_every=args.eval_every,
     )
     tcq = dataclasses.replace(
         tc, learning_rate=args.quant_lr if args.quant_lr > 0 else args.lr
@@ -575,6 +576,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="stage-2 learning rate (<=0: same as --lr; the "
                          "reference uses 0.1, quantized.py:14)")
     sp.add_argument("--epochs", type=int, default=100)
+    sp.add_argument("--eval-every", type=int, default=10,
+                    help="epochs per device-resident training chunk "
+                         "(one eval+sync per chunk)")
     sp.add_argument("--batch", type=int, default=4096)
     sp.add_argument("--num-codewords", type=int, default=4096)
     sp.add_argument("--family", default="",

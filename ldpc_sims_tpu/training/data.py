@@ -48,10 +48,13 @@ def make_llr_dataset(
     path, ``snr_per_symbol`` + ``snrdb_low/high`` for the random-SNR
     family; ``snrdb`` is used in fixed-SNR mode.
     """
-    out = link_step(
-        key, jnp.asarray(snrdb, jnp.float32), code, cfg, num_codewords,
-        return_arrays=True,
+    # jit the whole chain: eager per-op dispatch through a remote-TPU
+    # tunnel costs minutes; compiled it is one round trip
+    step = jax.jit(
+        lambda k, s: link_step(k, s, code, cfg, num_codewords,
+                               return_arrays=True)
     )
+    out = step(key, jnp.asarray(snrdb, jnp.float32))
     sig = out["q_time"] if cfg.qbits is not None else out["rx_time"]
     x = _symbol_inputs(sig)
     if with_snr_feature:
@@ -72,10 +75,11 @@ def make_joint_dataset(
 ):
     """Inputs for the joint model + transmitted coded bits as BCE targets
     (the ``joint_train.py`` setup: fixed SNR, quantized input)."""
-    out = link_step(
-        key, jnp.asarray(snrdb, jnp.float32), code, cfg, num_codewords,
-        return_arrays=True,
+    step = jax.jit(
+        lambda k, s: link_step(k, s, code, cfg, num_codewords,
+                               return_arrays=True)
     )
+    out = step(key, jnp.asarray(snrdb, jnp.float32))
     sig = out["q_time"] if cfg.qbits is not None else out["rx_time"]
     x = _symbol_inputs(sig)
     bits = out["coded"]  # (num_codewords, n)

@@ -107,7 +107,8 @@ def train_llr(
     else:  # reference behavior: eval on training data
         hold_x, hold_y = input_samples, output_samples
     num_samples = input_samples.shape[0]
-    num_batches = max(num_samples // cfg.batch_size, 1)
+    eff_bs = min(cfg.batch_size, num_samples)
+    num_batches = max(num_samples // eff_bs, 1)
 
     params = init_params or model.init(
         jax.random.key(cfg.seed), jnp.asarray(input_samples[:2])
@@ -115,53 +116,84 @@ def train_llr(
     opt = optax.sgd(cfg.learning_rate)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def step(params, opt_state, x, y):
-        def loss_fn(p):
-            return weighted_mse(model.apply(p, x), y, cfg.epsilon)
+    # device-resident training: the dataset crosses host→device ONCE and
+    # whole chunks of `eval_every` epochs run as one jitted double scan
+    # (epochs × batches), with per-epoch host shuffles shipped as an
+    # int32 index tensor. The reference moves every minibatch host→GPU
+    # every step (``ofdm/ofdm_nn.py:61-62``); on a remote-TPU tunnel a
+    # per-step sync costs ~100 ms of latency alone, so the chunked scan
+    # is what makes 3000-epoch family training minutes, not hours.
+    x_dev = jnp.asarray(input_samples)
+    y_dev = jnp.asarray(output_samples)
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+    @jax.jit
+    def run_chunk(params, opt_state, idx):
+        # idx: (chunk_epochs, num_batches, batch_size) int32
+        def batch_body(carry, idx_b):
+            params, opt_state = carry
+            xb = jnp.take(x_dev, idx_b, axis=0)
+            yb = jnp.take(y_dev, idx_b, axis=0)
+
+            def loss_fn(p):
+                return weighted_mse(model.apply(p, xb), yb, cfg.epsilon)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        def epoch_body(carry, idx_e):
+            carry, losses = jax.lax.scan(batch_body, carry, idx_e)
+            return carry, jnp.mean(losses)
+
+        (params, opt_state), losses = jax.lax.scan(
+            epoch_body, (params, opt_state), idx
+        )
+        return params, opt_state, losses
 
     @jax.jit
     def evaluate(params, x, y):
         est = model.apply(params, x)
         return est, weighted_mse(est, y, cfg.epsilon)
 
-    train_loss = np.zeros(cfg.num_epochs)
+    train_loss = np.zeros(max(cfg.num_epochs, 1))
     t0 = time.perf_counter()
-    for epoch in range(cfg.num_epochs):
-        p = rng.permutation(num_samples)
-        xs, ys = input_samples[p], output_samples[p]
-        for b in range(num_batches):
-            sl = slice(b * cfg.batch_size, (b + 1) * cfg.batch_size)
-            params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(xs[sl]), jnp.asarray(ys[sl])
+    chunk = max(cfg.eval_every, 1)
+    epoch = 0
+    while epoch < cfg.num_epochs:
+        n_ep = min(chunk, cfg.num_epochs - epoch)
+        idx = np.stack([
+            rng.permutation(num_samples)[: num_batches * eff_bs]
+            .reshape(num_batches, eff_bs)
+            for _ in range(n_ep)
+        ]).astype(np.int32)
+        params, opt_state, losses = run_chunk(
+            params, opt_state, jnp.asarray(idx)
+        )
+        train_loss[epoch : epoch + n_ep] = np.asarray(losses)
+        epoch += n_ep
+        # eval at each chunk boundary (reference cadence: every 10
+        # epochs, ofdm/ofdm_nn.py:84)
+        eidx = rng.choice(
+            hold_x.shape[0], min(cfg.eval_samples, hold_x.shape[0]),
+            replace=False,
+        )
+        est, test_loss = evaluate(
+            params, jnp.asarray(hold_x[eidx]), jnp.asarray(hold_y[eidx])
+        )
+        stats = _flipped_stats(np.asarray(est), hold_y[eidx])
+        if metrics is not None:
+            metrics.log(
+                "train-epoch", epoch=epoch - 1,
+                train_loss=float(train_loss[epoch - 1]),
+                test_loss=float(test_loss), **stats,
             )
-            train_loss[epoch] += float(loss) / num_batches
-        if epoch % cfg.eval_every == 0:
-            idx = rng.choice(
-                hold_x.shape[0], min(cfg.eval_samples, hold_x.shape[0]),
-                replace=False,
+        if log:
+            log(
+                f"[epoch {epoch}] train_loss: "
+                f"{train_loss[epoch - 1]:.3f}, test_loss: "
+                f"{float(test_loss):.3f}, flipped_ber: "
+                f"{stats['flipped_ber']:.3f}"
             )
-            est, test_loss = evaluate(
-                params, jnp.asarray(hold_x[idx]), jnp.asarray(hold_y[idx])
-            )
-            stats = _flipped_stats(np.asarray(est), hold_y[idx])
-            if metrics is not None:
-                metrics.log(
-                    "train-epoch", epoch=epoch,
-                    train_loss=float(train_loss[epoch]),
-                    test_loss=float(test_loss), **stats,
-                )
-            if log:
-                log(
-                    f"[epoch {epoch + 1}] train_loss: "
-                    f"{train_loss[epoch]:.3f}, test_loss: "
-                    f"{float(test_loss):.3f}, flipped_ber: "
-                    f"{stats['flipped_ber']:.3f}"
-                )
 
     info = {
         "train_loss": train_loss,
@@ -226,55 +258,63 @@ def train_joint(
     )
     opt_state = opt.init(params)
 
-    @jax.jit
-    def grad_minibatch(params, x, bits):
-        def loss_fn(p):
-            p1 = model.apply(p, x)
-            eps = 1e-7
-            b = bits.astype(jnp.float32)
-            return -jnp.mean(
-                b * jnp.log(p1 + eps) + (1 - b) * jnp.log(1 - p1 + eps)
-            )
+    # device-resident data; gradient accumulation (ofdm_nn:322-349) runs
+    # as a lax.scan over minibatches inside ONE jitted call per batch —
+    # no per-minibatch host sync (see train_llr for why this matters on
+    # a remote-TPU tunnel)
+    x_dev = jnp.asarray(input_samples)
+    bits_dev = jnp.asarray(target_bits)
+    sym_off = jnp.arange(sym_per_cw)
 
-        return jax.value_and_grad(loss_fn)(params)
+    def loss_fn(p, x, bits):
+        p1 = model.apply(p, x)
+        eps = 1e-7
+        b = bits.astype(jnp.float32)
+        return -jnp.mean(
+            b * jnp.log(p1 + eps) + (1 - b) * jnp.log(1 - p1 + eps)
+        )
 
     @jax.jit
-    def apply_grads(params, opt_state, grads):
-        updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state
+    def run_batch(params, opt_state, cw_idx):
+        # cw_idx: (n_mb, cw_per_minibatch) int32
+        def mb_body(carry, idx):
+            gacc, lacc = carry
+            sym_idx = (idx[:, None] * sym_per_cw + sym_off).reshape(-1)
+            x = jnp.take(x_dev, sym_idx, axis=0)
+            b = jnp.take(bits_dev, idx, axis=0)
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, b)
+            return (jax.tree.map(jnp.add, gacc, grads), lacc + loss), None
+
+        n_mb = cw_idx.shape[0]
+        gzero = jax.tree.map(jnp.zeros_like, params)
+        (gacc, lsum), _ = jax.lax.scan(
+            mb_body, (gzero, jnp.float32(0.0)), cw_idx
+        )
+        gacc = jax.tree.map(lambda g: g / n_mb, gacc)
+        updates, opt_state = opt.update(gacc, opt_state)
+        return optax.apply_updates(params, updates), opt_state, lsum / n_mb
 
     rng = np.random.default_rng(cfg.seed)
     num_cw = target_bits.shape[0]
+    cw_per_minibatch = min(cw_per_minibatch, num_cw)
     bs_cw = max(cfg.batch_size // sym_per_cw, cw_per_minibatch)
     num_batches = max(num_cw // bs_cw, 1)
+    n_mb = max(min(bs_cw, num_cw) // cw_per_minibatch, 1)
     train_loss = np.zeros(cfg.num_epochs)
 
     for epoch in range(cfg.num_epochs):
         perm = rng.permutation(num_cw)
+        losses = []
         for b in range(num_batches):
-            cw_idx = perm[b * bs_cw : (b + 1) * bs_cw]
-            grads_acc = None
-            n_mb = max(len(cw_idx) // cw_per_minibatch, 1)
-            for mb in range(n_mb):  # gradient accumulation (ofdm_nn:322-349)
-                idx = cw_idx[
-                    mb * cw_per_minibatch : (mb + 1) * cw_per_minibatch
-                ]
-                sym_idx = (
-                    idx[:, None] * sym_per_cw + np.arange(sym_per_cw)
-                ).reshape(-1)
-                loss, grads = grad_minibatch(
-                    params,
-                    jnp.asarray(input_samples[sym_idx]),
-                    jnp.asarray(target_bits[idx]),
-                )
-                train_loss[epoch] += float(loss) / (num_batches * n_mb)
-                grads_acc = (
-                    grads
-                    if grads_acc is None
-                    else jax.tree.map(jnp.add, grads_acc, grads)
-                )
-            grads_acc = jax.tree.map(lambda g: g / n_mb, grads_acc)
-            params, opt_state = apply_grads(params, opt_state, grads_acc)
+            cw_idx = perm[b * bs_cw : b * bs_cw + n_mb * cw_per_minibatch]
+            cw_idx = cw_idx.reshape(n_mb, cw_per_minibatch).astype(np.int32)
+            params, opt_state, loss = run_batch(
+                params, opt_state, jnp.asarray(cw_idx)
+            )
+            losses.append(loss)  # device scalar — no sync here
+        train_loss[epoch] = float(
+            jnp.mean(jnp.stack(losses))
+        ) if losses else 0.0
         if log and epoch % cfg.eval_every == 0:
             log(f"[epoch {epoch + 1}] joint train_loss: "
                 f"{train_loss[epoch]:.4f}")
