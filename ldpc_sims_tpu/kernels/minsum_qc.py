@@ -23,7 +23,9 @@ whole tile exits once all 128 lanes are done (vs. the roll backend's
 old whole-batch exit, which forfeit the saving to one stubborn
 codeword); **message quantization** (``msg_qbits``/``msg_qclip``, the
 quantized-min-sum decoder study); **bf16 message storage** (halves VMEM
-→ headroom for bigger tiles / codes). Semantics identical to
+→ headroom for bigger tiles / codes); **layered (serial-C) schedule**
+— per-row exclusive updates folded straight into the VMEM-resident
+posterior, ~2x fewer sweeps at the same BER. Semantics identical to
 ``bp_decode(..., backend='roll')`` with ``weights=None`` (equivalence
 tests in interpret mode and on device).
 """
@@ -69,6 +71,7 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                   early_stop: bool = False,
                   msg_qbits: int | None = None,
                   msg_qclip: float = 20.0,
+                  schedule: str = "flooding",
                   dtype=jnp.float32):
     planes, group_c, group_v = qc_plan(qc)
     mb, nb, z = qc.mb, qc.nb, qc.z
@@ -84,6 +87,11 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
         var_slots.append(
             [(*slot_of_plane[p], planes[p][2]) for p in group_v[j]]
         )
+    # layered sweep order: row i's slots as (slot k, var block j, shift)
+    row_slots: list[list[tuple[int, int, int]]] = [
+        [(k, planes[p][1], planes[p][2]) for k, p in enumerate(ps)]
+        for ps in group_c
+    ]
 
     # pad slots (check rows with degree < dc_max): kept at +_BIG so they
     # are inert in the vectorized min-sum; re-stamped after every check
@@ -111,7 +119,8 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                     dtype=msg_ref.dtype,
                 )
 
-        stamp_pads()
+        if schedule != "layered":  # layered never reads pad slots
+            stamp_pads()
 
         # sub-32-bit dtypes are *storage only*: Mosaic on v5e lacks
         # bf16 lowerings for rotate/compare/reduce-index, so every load
@@ -150,35 +159,27 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                 unsat = unsat + jnp.sum(par & 1, axis=0, keepdims=True)
             return unsat
 
-        def update(done):
-            """One BP iteration; lanes with done≠0 keep their messages."""
-            keep = None if done is None else (done > 0)
-            # -- variable update, in place (reads post_ref) ------------
-            for j in range(nb):
-                for (i, k, s) in var_slots[j]:
-                    new = (
-                        _roll(ld(post_ref[j]), -s) - ld(msg_ref[i, k])
-                    ).astype(dtype)
-                    if keep is not None:
-                        new = jnp.where(keep, msg_ref[i, k], new)
-                    msg_ref[i, k] = new
-            # -- check update: all checks at once ----------------------
-            v = ld(msg_ref[...])
+        def check_excl(v, axis):
+            """Exclusive check update along ``axis`` (f32 in/out).
+
+            Applies the min-sum two-minima trick or the stable log-domain
+            sum-product, then clamp + message quantization.
+            """
             a = jnp.abs(v)
             neg = (v < 0).astype(jnp.int32)
             # sign product as sum-of-sign-bits parity (reduce_prod has no
             # Pallas TPU lowering): exclusive parity = (Σ neg − neg) mod 2
-            nneg = jnp.sum(neg, axis=1, keepdims=True)
+            nneg = jnp.sum(neg, axis=axis, keepdims=True)
             exneg = (nneg - neg) & 1
             exsign = 1.0 - 2.0 * exneg.astype(f32)
             if method == "min-sum":
-                min1 = jnp.min(a, axis=1, keepdims=True)
-                idx = jnp.argmin(a, axis=1)
+                min1 = jnp.min(a, axis=axis, keepdims=True)
+                idx = jnp.argmin(a, axis=axis)
                 onehot = (
-                    jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-                    == idx[:, None]
+                    jax.lax.broadcasted_iota(jnp.int32, v.shape, axis)
+                    == jnp.expand_dims(idx, axis)
                 )
-                min2 = jnp.min(jnp.where(onehot, _BIG, a), axis=1,
+                min2 = jnp.min(jnp.where(onehot, _BIG, a), axis=axis,
                                keepdims=True)
                 exmin = jnp.where(onehot, min2, min1)
                 mag = jnp.maximum(exmin - beta, 0.0) if beta else exmin
@@ -193,7 +194,7 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                     jnp.log(-jnp.expm1(-ac)) - jnp.log1p(jnp.exp(-ac))
                 )
                 s = jnp.minimum(
-                    jnp.sum(lt, axis=1, keepdims=True) - lt, -1e-12
+                    jnp.sum(lt, axis=axis, keepdims=True) - lt, -1e-12
                 )
                 out = exsign * (
                     jnp.log1p(jnp.exp(s)) - jnp.log(-jnp.expm1(s))
@@ -204,11 +205,61 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                 step = 2.0 * msg_qclip / (2**msg_qbits - 1)
                 q = jnp.round(out / step) * step
                 out = jnp.clip(q, -msg_qclip, msg_qclip)
-            out = out.astype(dtype)
+            return out
+
+        def update(done):
+            """One flooding iteration; done≠0 lanes keep their messages."""
+            keep = None if done is None else (done > 0)
+            # -- variable update, in place (reads post_ref) ------------
+            for j in range(nb):
+                for (i, k, s) in var_slots[j]:
+                    new = (
+                        _roll(ld(post_ref[j]), -s) - ld(msg_ref[i, k])
+                    ).astype(dtype)
+                    if keep is not None:
+                        new = jnp.where(keep, msg_ref[i, k], new)
+                    msg_ref[i, k] = new
+            # -- check update: all checks at once ----------------------
+            out = check_excl(ld(msg_ref[...]), 1).astype(dtype)
             if keep is not None:
                 out = jnp.where(keep[None, None], msg_ref[...], out)
             msg_ref[...] = out
             stamp_pads()
+
+        def layered_sweep(done):
+            """One serial-C sweep: each check block-row reads the
+            *current* posterior, so later rows inside the same sweep see
+            earlier rows' improvements (``_decode_layered`` semantics in
+            ops/bp_roll.py — per-row exclusive update, message delta
+            folded straight back into the posterior). Rows use their own
+            degree (no dc_max padding); pad slots are never touched.
+            """
+            keep = None if done is None else (done > 0)
+            for i, slots in enumerate(row_slots):
+                # v2c for this row from the current posterior
+                xs = jnp.stack(
+                    [
+                        _roll(ld(post_ref[j]), -s) - ld(msg_ref[i, k])
+                        for (k, j, s) in slots
+                    ]
+                )  # (deg_i, z, tile)
+                y = check_excl(xs, 0)
+                for d, (k, j, s) in enumerate(slots):
+                    old = ld(msg_ref[i, k])
+                    new = y[d]
+                    if keep is not None:
+                        new = jnp.where(keep, old, new)
+                    post_ref[j] = (
+                        ld(post_ref[j]) + _roll(new - old, s)
+                    ).astype(dtype)
+                    msg_ref[i, k] = new.astype(dtype)
+
+        def bp_iter(done):
+            if schedule == "layered":
+                layered_sweep(done)  # maintains post_ref incrementally
+            else:
+                update(done)
+                write_posterior()
 
         write_posterior()  # posterior of the zero-message state = LLRs
 
@@ -228,8 +279,7 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
 
             def body(carry):
                 it, done, iters = carry
-                update(done)
-                write_posterior()
+                bp_iter(done)
                 newly = jnp.logical_and(
                     syndrome_unsat() == 0, done == 0
                 )
@@ -243,8 +293,7 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
             iters_ref[...] = iters
         else:
             def one_iteration(_, carry):
-                update(None)
-                write_posterior()
+                bp_iter(None)
                 return carry
 
             jax.lax.fori_loop(0, iterations, one_iteration, 0)
@@ -259,7 +308,7 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
     jax.jit,
     static_argnames=("qc", "iterations", "method", "alpha", "beta",
                      "clamp", "early_stop", "msg_qbits", "msg_qclip",
-                     "tile", "output", "dtype", "interpret"),
+                     "schedule", "tile", "output", "dtype", "interpret"),
 )
 def bp_qc_pallas(
     llr: jnp.ndarray,
@@ -272,6 +321,7 @@ def bp_qc_pallas(
     early_stop: bool = False,
     msg_qbits: int | None = None,
     msg_qclip: float = 20.0,
+    schedule: str = "flooding",
     tile: int = 128,
     output: str = "hard",
     dtype=jnp.float32,
@@ -284,11 +334,16 @@ def bp_qc_pallas(
     ``early_stop``: per-codeword syndrome termination (lane freeze +
     whole-tile exit); with ``output='hard_iters'`` returns
     ``(bits, iters)`` where ``iters[b]`` is the number of BP iterations
-    codeword ``b`` actually ran. ``dtype``: message storage dtype
-    (float32 or bfloat16 — bf16 halves VMEM residency).
+    codeword ``b`` actually ran. ``schedule``: 'flooding' (one big
+    vectorized check update) or 'layered' (serial-C sweep over the mb
+    block rows — ~2x fewer iterations at the same BER; one "iteration"
+    = one full sweep). ``dtype``: message storage dtype (float32 or
+    bfloat16 — bf16 halves VMEM residency).
     """
     if method not in ("min-sum", "sum-product"):
         raise ValueError(f"unsupported kernel method {method!r}")
+    if schedule not in ("flooding", "layered"):
+        raise ValueError(f"unknown schedule {schedule!r}")
     if output == "hard_iters" and not early_stop:
         raise ValueError("output='hard_iters' requires early_stop=True")
     B, n = llr.shape
@@ -302,7 +357,7 @@ def bp_qc_pallas(
     kernel, (mb, dc_max, nb, z) = _build_kernel(
         qc, iterations, alpha, beta, method, clamp,
         early_stop=early_stop, msg_qbits=msg_qbits, msg_qclip=msg_qclip,
-        dtype=dtype,
+        schedule=schedule, dtype=dtype,
     )
 
     # internal convention log(Pr0/Pr1), variable-block-major planes

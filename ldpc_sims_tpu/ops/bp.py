@@ -334,7 +334,7 @@ def bp_decode(
         early-stop / message quantization).
       schedule: 'flooding' (all checks in parallel, the reference's
         schedule) | 'layered' (serial-C row-layered — converges in ~half
-        the iterations; QC/roll backend only).
+        the iterations; QC codes only, roll or pallas backend).
     """
     if method not in ("min-sum", "sum-product", "sum-product-ref"):
         raise ValueError(f"unknown method {method!r}")
@@ -344,11 +344,12 @@ def bp_decode(
         if not (isinstance(code, LdpcCode) and code.qc is not None):
             raise ValueError(
                 "layered schedule requires a quasi-cyclic LdpcCode "
-                "(roll backend)"
+                "(roll or pallas backend)"
             )
-        if backend not in ("auto", "roll"):
-            raise ValueError("layered schedule is roll-backend only")
-        backend = "roll"
+        if backend not in ("auto", "roll", "pallas"):
+            raise ValueError(
+                "layered schedule is QC-only (roll-backend or pallas)"
+            )
     if early_stop and weights is not None:
         raise ValueError("early_stop with neural-BP weights is unsupported")
     if weights is not None and "w_pair" in weights and backend != "gather":
@@ -391,7 +392,8 @@ def bp_decode(
         out = bp_qc_pallas(
             llr, qc, iterations=iterations, method=method, alpha=alpha,
             beta=beta, clamp=clamp, early_stop=early_stop,
-            msg_qbits=msg_qbits, msg_qclip=msg_qclip, tile=tile,
+            msg_qbits=msg_qbits, msg_qclip=msg_qclip, schedule=schedule,
+            tile=tile,
             output="posterior" if output in ("posterior", "soft") else output,
             dtype=dtype,
             # off-TPU (tests, CPU meshes) the kernel runs in interpret mode

@@ -188,3 +188,66 @@ def test_pallas_dispatch_early_stop_and_quant(rng):
     qr = bp_decode(llr, w, iterations=4, method="min-sum", msg_qbits=3,
                    backend="roll")
     np.testing.assert_array_equal(np.array(q), np.array(qr))
+
+
+@pytest.mark.parametrize("method", ["min-sum", "sum-product"])
+def test_pallas_layered_matches_roll(method, rng):
+    """Layered (serial-C) schedule in the kernel == roll layered."""
+    from ldpc_sims_tpu.kernels import bp_qc_pallas
+
+    w = get_code("wifi648")
+    llr = jnp.asarray(rng.normal(0, 3, (128, w.n)), jnp.float32)
+    a = np.array(
+        bp_qc_pallas(llr, w.qc, iterations=4, method=method, clamp=20.0,
+                     schedule="layered", interpret=True,
+                     output="posterior")
+    )
+    b = np.array(
+        bp_decode(llr, w, iterations=4, method=method, clamp=20.0,
+                  schedule="layered", backend="roll", output="posterior")
+    )
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+
+def test_pallas_layered_early_stop_matches_roll(rng):
+    from ldpc_sims_tpu.kernels import bp_qc_pallas
+
+    w = get_code("wifi648")
+    u = rng.integers(0, 2, (128, w.k)).astype(np.uint8)
+    cw = w.encode_np(u)
+    scale = rng.uniform(0.8, 6.0, (128, 1))
+    llr = jnp.asarray((2.0 * cw - 1.0) * scale + rng.normal(0, 1.0, cw.shape),
+                      jnp.float32)
+    bits_p, it_p = bp_qc_pallas(llr, w.qc, iterations=12, method="min-sum",
+                                schedule="layered", early_stop=True,
+                                output="hard_iters", interpret=True)
+    bits_r, it_r = bp_decode(llr, w, iterations=12, method="min-sum",
+                             schedule="layered", early_stop=True,
+                             output="hard_iters", backend="roll")
+    np.testing.assert_array_equal(np.array(it_p), np.array(it_r))
+    np.testing.assert_array_equal(np.array(bits_p), np.array(bits_r))
+
+
+def test_pallas_layered_dispatch(rng):
+    """bp_decode(schedule='layered', backend='pallas') decodes; the
+    layered sweep converges in fewer iterations than flooding."""
+    w = get_code("wifi648")
+    u = rng.integers(0, 2, (128, w.k)).astype(np.uint8)
+    cw = w.encode_np(u)
+    llr = jnp.asarray((2.0 * cw - 1.0) * 3.0 + rng.normal(0, 1.0, cw.shape),
+                      jnp.float32)
+    bits = bp_decode(llr, w, iterations=6, method="min-sum",
+                     schedule="layered", backend="pallas")
+    assert np.mean(np.array(bits) != cw) < 1e-3
+    # iteration-count advantage needs a *hard* operating point — at
+    # scale 3 nearly every lane converges in one sweep either way
+    llr_hard = jnp.asarray(
+        (2.0 * cw - 1.0) * 2.0 + rng.normal(0, 1.0, cw.shape), jnp.float32
+    )
+    _, it_lay = bp_decode(llr_hard, w, iterations=30, method="min-sum",
+                          schedule="layered", early_stop=True,
+                          output="hard_iters", backend="pallas")
+    _, it_flo = bp_decode(llr_hard, w, iterations=30, method="min-sum",
+                          schedule="flooding", early_stop=True,
+                          output="hard_iters", backend="pallas")
+    assert float(np.mean(np.array(it_lay))) < float(np.mean(np.array(it_flo)))
