@@ -210,6 +210,7 @@ def cmd_train_llr(args) -> None:
     tc = TrainConfig(
         learning_rate=args.lr, num_epochs=args.epochs,
         batch_size=args.batch, seed=args.seed,
+        optimizer=args.optimizer,
     )
     init = None
     if args.warm_start:
@@ -258,7 +259,8 @@ def cmd_train_joint(args) -> None:
     model = Joint(code_name=args.code, ofdm_size=args.ofdm_size,
                   iterations=args.iters, clamp=args.clamp)
     tc = TrainConfig(learning_rate=args.lr, num_epochs=args.epochs,
-                     batch_size=args.batch, seed=args.seed)
+                     batch_size=args.batch, seed=args.seed,
+                     optimizer=args.optimizer)
     stamp = time.strftime("%Y%m%d-%H%M%S")
     ckpt = os.path.join(args.out, "model", f"{stamp}_joint_snr={args.snrdb}")
     train_joint(model, x, bits, tc, ckpt_dir=ckpt,
@@ -280,7 +282,7 @@ def cmd_train_grid(args) -> None:
     tc = TrainConfig(
         learning_rate=args.lr, num_epochs=args.epochs,
         batch_size=args.batch, seed=args.seed,
-        eval_every=args.eval_every,
+        eval_every=args.eval_every, optimizer=args.optimizer,
     )
     tcq = dataclasses.replace(
         tc, learning_rate=args.quant_lr if args.quant_lr > 0 else args.lr
@@ -547,6 +549,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--snr-high", type=float, default=0.0)
     sp.add_argument("--tanh", action="store_true")
     sp.add_argument("--lr", type=float, default=0.01)
+    sp.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
     sp.add_argument("--epochs", type=int, default=100)
     sp.add_argument("--batch", type=int, default=4096)
     sp.add_argument("--num-codewords", type=int, default=4096)
@@ -557,6 +560,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_common(sp)
     sp.add_argument("--snrdb", type=float, default=5.0)
     sp.add_argument("--lr", type=float, default=0.001)
+    sp.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
     sp.add_argument("--epochs", type=int, default=50)
     sp.add_argument("--batch", type=int, default=4096)
     sp.add_argument("--num-codewords", type=int, default=4096)
@@ -575,6 +579,7 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--quant-lr", type=float, default=0.0,
                     help="stage-2 learning rate (<=0: same as --lr; the "
                          "reference uses 0.1, quantized.py:14)")
+    sp.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"])
     sp.add_argument("--epochs", type=int, default=100)
     sp.add_argument("--eval-every", type=int, default=10,
                     help="epochs per device-resident training chunk "

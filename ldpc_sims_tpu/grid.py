@@ -28,6 +28,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+import zlib
 from typing import Any, Callable
 
 import jax
@@ -111,8 +112,10 @@ def train_grid(
             qbits=qbits if qbits else None,
             clip_ratio=10 ** (clipdb / 10.0),
         )
+        # stable across processes (Python's hash() of a str-bearing
+        # tuple is PYTHONHASHSEED-randomized — SURVEY §5.2 determinism)
         cell_key = jax.random.fold_in(
-            key, hash((stage, snrdb, qbits, clipdb)) % (2**31)
+            key, zlib.crc32(tag.encode()) & 0x7FFFFFFF
         )
         x, y = make_llr_dataset(
             cell_key, code, link, num_codewords, snrdb=snrdb

@@ -57,9 +57,19 @@ class TrainConfig:
     holdout_fraction: float = 1.0 / 16.0
     epsilon: float = 1e-3
     seed: int = 0
+    # 'sgd' (the reference's pick, ofdm/ofdm_nn.py:35) or 'adam' (the
+    # road it left commented out at :36; converges far better on the
+    # high-SNR quantized cells where plain SGD underfits)
+    optimizer: str = "sgd"
     # joint-recipe extras
     minibatch_size: int = 512  # grad-accumulation chunk (2^9, ofdm_nn:263)
     llr_lr_multiplier: float = 5.0  # ofdm_nn.py:284-287
+
+    def make_optimizer(self, lr: float | None = None):
+        if self.optimizer not in ("sgd", "adam"):
+            raise ValueError(f"unknown optimizer {self.optimizer!r}")
+        make = optax.adam if self.optimizer == "adam" else optax.sgd
+        return make(self.learning_rate if lr is None else lr)
 
 
 def _flipped_stats(y_est: np.ndarray, y: np.ndarray) -> dict[str, float]:
@@ -113,7 +123,7 @@ def train_llr(
     params = init_params or model.init(
         jax.random.key(cfg.seed), jnp.asarray(input_samples[:2])
     )
-    opt = optax.sgd(cfg.learning_rate)
+    opt = cfg.make_optimizer()
     opt_state = opt.init(params)
 
     # device-resident training: the dataset crosses host→device ONCE and
@@ -251,8 +261,10 @@ def train_joint(
 
     opt = optax.multi_transform(
         {
-            "llr": optax.sgd(cfg.learning_rate * cfg.llr_lr_multiplier),
-            "bp": optax.sgd(cfg.learning_rate),
+            "llr": cfg.make_optimizer(
+                cfg.learning_rate * cfg.llr_lr_multiplier
+            ),
+            "bp": cfg.make_optimizer(),
         },
         label_fn,
     )

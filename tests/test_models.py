@@ -167,3 +167,22 @@ def test_checkpoint_roundtrip(tmp_path, rng):
         np.asarray(model.apply(loaded, x)),
     )
     assert manifest["qbits"] == 3
+
+
+def test_train_llr_adam_optimizer():
+    """TrainConfig(optimizer='adam') — the road the reference left
+    commented out (ofdm/ofdm_nn.py:36); closes the high-SNR quantized
+    cells SGD underfits (docs/parity_report.md)."""
+    import pytest
+
+    code = reference_6432()
+    x, y = make_llr_dataset(
+        jax.random.key(2), code, LinkConfig(bp_iterations=1), 512, snrdb=5.0
+    )
+    model = LLRestimator(ofdm_size=32)
+    tc = TrainConfig(learning_rate=1e-3, num_epochs=12, batch_size=128,
+                     eval_every=100, optimizer="adam")
+    params, info = train_llr(model, x, y, tc, log=None)
+    assert info["train_loss"][-1] < info["train_loss"][0]
+    with pytest.raises(ValueError, match="optimizer"):
+        TrainConfig(optimizer="rmsprop").make_optimizer()
