@@ -14,13 +14,16 @@ per-bit LLRs from (possibly coarsely quantized) time-domain OFDM samples:
   working version it intended.
 
 Design deltas from the reference (documented, deliberate):
-* Input layout is ``concat(real, imag)`` per OFDM symbol — what the
-  reference's training drivers actually feed (``unquantized.py:43-44``,
-  ``quantized_snr.py:135-137``). The reference initializes its FFT layer
-  for an *interleaved* re/im layout (``DFTreal``,
-  ``ofdm_functions.py:95-107``) that its own data never uses; here the
-  init is the block form ``[[Re W, −Im W], [Im W, Re W]]`` consistent
-  with the concat layout.
+* Input layout is the block form ``concat(re*, im*)`` per OFDM symbol
+  with the matching block-form DFT init ``[[Re W, −Im W], [Im W, Re W]]``.
+  The reference feeds *interleaved* re/im samples — its
+  ``concatenate((rx.real.T, rx.imag.T), axis=1).reshape(-1, 2N)`` on a
+  ``(1, total)`` row vector interleaves (``unquantized.py:43-44``,
+  ``evaluate_quantized.py:100-101``) — matching its ``DFTreal`` init
+  (``ofdm_functions.py:95-107``). The two layouts are the same function
+  class up to a fixed input permutation; the weight-port tool
+  (``examples/reference_weight_port.py``) applies that permutation when
+  loading reference checkpoints.
 * The reference's dead parameters (``hidden1``/``hidden2``/``scalar``,
   constructed but skipped in ``forward``, ``nn/llr.py:19-20,36``) are
   not replicated.
