@@ -114,7 +114,9 @@ def evaluate_sweep(
                 llrs, code, iterations=link_cfg.bp_iterations,
                 method=link_cfg.bp_method, clamp=link_cfg.clamp,
                 alpha=link_cfg.alpha, beta=link_cfg.beta,
+                early_stop=link_cfg.early_stop,
                 msg_qbits=link_cfg.msg_qbits, msg_qclip=link_cfg.msg_qclip,
+                schedule=link_cfg.bp_schedule,
             )
             err = jnp.sum(
                 (bits[:, :k] != coded[:, :k]).astype(jnp.int32), axis=1
@@ -146,6 +148,19 @@ def evaluate_sweep(
             res["wmse_nn"] = weighted_mse(
                 est_sym.reshape(-1), out["llrs"].reshape(-1), 0.001
             )
+            if eval_cfg.tanh_model:
+                # flipped-position WMSE: the tanh evaluator's metric is
+                # computed only where the estimate's sign disagrees with
+                # the true LLR (evaluate_quantized_tanh.py:163-170);
+                # returned as num/cnt so shard/batch sums stay exact
+                est_f = est_sym.reshape(-1)
+                llr_f = out["llrs"].reshape(-1)
+                flip = (jnp.sign(est_f) != jnp.sign(llr_f)).astype(
+                    jnp.float32
+                )
+                w = (est_f - llr_f) ** 2 / (jnp.abs(llr_f) + 0.001)
+                res["flip_wmse_num"] = jnp.sum(flip * w)
+                res["flip_wmse_cnt"] = jnp.sum(flip)
             decode_count(est_sym.reshape(-1, code.n), "nn")
         return res
 
@@ -193,6 +208,11 @@ def evaluate_sweep(
             put("coded_ber_nn", acc["coded_errs_nn"] / n_info)
             put("coded_bler_nn", acc["frame_errs_nn"] / n_cw)
             put("wmse_nn", acc["wmse_nn"] / eval_cfg.batches)
+        if "flip_wmse_num" in acc:
+            put(
+                "wmse_nn_flipped",
+                acc["flip_wmse_num"] / max(acc["flip_wmse_cnt"], 1.0),
+            )
         if log:
             nn = (
                 f"  nn={curves['coded_ber_nn'][-1]:.3e}"

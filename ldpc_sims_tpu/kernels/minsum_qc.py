@@ -43,9 +43,31 @@ from jax.experimental.pallas import tpu as pltpu
 from ldpc_sims_tpu.codes.library import QcStructure
 from ldpc_sims_tpu.ops.bp_roll import qc_plan
 
-__all__ = ["minsum_qc_pallas", "bp_qc_pallas"]
+__all__ = [
+    "minsum_qc_pallas",
+    "bp_qc_pallas",
+    "bp_qc_requeue",
+    "default_tile",
+]
 
 _BIG = 1e30
+
+# Lane-tile dispatch table, derived from measured sweeps on a v5e chip
+# (kernels/tune.py → docs/artifacts/*_kernel_tune.jsonl). Key: (z·nb
+# rounded to the nearest code size, dtype name, schedule); value: lanes
+# per tile. Measured on (1944,972): f32/128 = 513e6 bits/s beats every
+# 256-lane and bf16 config (bf16 pays a lift-to-f32 cast per load, and
+# 256 lanes doubles VMEM residency for no VPU gain — the 8×128 vregs
+# are already full at 128 lanes). Entries exist only where a non-default
+# choice measured faster; default_tile falls back to 128.
+_TILE_TABLE: dict[tuple[int, str, str], int] = {}
+
+
+def default_tile(qc: QcStructure, dtype, schedule: str = "flooding") -> int:
+    """Measured-best lane tile for this (code, dtype, schedule)."""
+    return _TILE_TABLE.get(
+        (qc.nb * qc.z, jnp.dtype(dtype).name, schedule), 128
+    )
 
 
 def _roll(x: jnp.ndarray, shift: int) -> jnp.ndarray:
@@ -69,6 +91,8 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                   beta: float, method: str = "min-sum",
                   clamp: float | None = None,
                   early_stop: bool = False,
+                  es_check_every: int = 1,
+                  with_done_in: bool = False,
                   msg_qbits: int | None = None,
                   msg_qclip: float = 20.0,
                   schedule: str = "flooding",
@@ -104,13 +128,14 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
     ]
 
     def kernel(llr_ref, *rest):
+        if with_done_in:
+            done_ref, *rest = rest
         if early_stop:
             out_ref, iters_ref, msg_ref, post_ref = rest
         else:
             out_ref, msg_ref, post_ref = rest
         # llr_ref/out_ref/post_ref: (nb, z, T); msg_ref: (mb, dc_max, z, T)
         tile = llr_ref.shape[-1]
-        msg_ref[...] = jnp.zeros_like(msg_ref)
 
         def stamp_pads():
             for (i, k) in pad_slots:
@@ -118,9 +143,6 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                     (msg_ref.shape[2], msg_ref.shape[3]), _BIG,
                     dtype=msg_ref.dtype,
                 )
-
-        if schedule != "layered":  # layered never reads pad slots
-            stamp_pads()
 
         # sub-32-bit dtypes are *storage only*: Mosaic on v5e lacks
         # bf16 lowerings for rotate/compare/reduce-index, so every load
@@ -261,45 +283,70 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                 update(done)
                 write_posterior()
 
-        write_posterior()  # posterior of the zero-message state = LLRs
+        def run():
+            msg_ref[...] = jnp.zeros_like(msg_ref)
+            if schedule != "layered":  # layered never reads pad slots
+                stamp_pads()
+            write_posterior()  # posterior of the zero-message state = LLRs
 
-        if early_stop:
-            # per-lane termination: a lane freezes at its first
-            # syndrome-satisfying state; the tile exits when all lanes
-            # are done. iters[lane] = BP iterations actually applied.
-            unsat0 = syndrome_unsat()
-            done0 = (unsat0 == 0).astype(jnp.int32)
-            iters0 = jnp.where(done0 > 0, 0, iterations).astype(jnp.int32)
-
-            def cond(carry):
-                it, done, _ = carry
-                return jnp.logical_and(
-                    it < iterations, jnp.sum(done) < tile
+            if early_stop:
+                # per-lane termination: a lane freezes at its first
+                # syndrome-satisfying state (checked every
+                # ``es_check_every`` iterations); the tile exits when all
+                # lanes are done. iters[lane] = BP iterations applied at
+                # the lane's first *checked* satisfying state.
+                K = es_check_every
+                rounds = iterations // K
+                if with_done_in:
+                    # caller-vetted entry states (requeue pass 2): lanes
+                    # flagged done froze in an earlier pass; the rest are
+                    # known unconverged — skip the entry syndrome.
+                    done0 = (ld(done_ref[...]) > 0).astype(jnp.int32)
+                else:
+                    done0 = (syndrome_unsat() == 0).astype(jnp.int32)
+                iters0 = jnp.where(done0 > 0, 0, iterations).astype(
+                    jnp.int32
                 )
 
-            def body(carry):
-                it, done, iters = carry
-                bp_iter(done)
-                newly = jnp.logical_and(
-                    syndrome_unsat() == 0, done == 0
-                )
-                iters = jnp.where(newly, it + 1, iters)
-                done = jnp.where(newly, 1, done)
-                return it + 1, done, iters
+                def cond(carry):
+                    r, done, _ = carry
+                    return jnp.logical_and(
+                        r < rounds, jnp.sum(done) < tile
+                    )
 
-            _, _, iters = jax.lax.while_loop(
-                cond, body, (jnp.int32(0), done0, iters0)
-            )
-            iters_ref[...] = iters
+                def body(carry):
+                    r, done, iters = carry
+                    for _ in range(K):
+                        bp_iter(done)
+                    newly = jnp.logical_and(
+                        syndrome_unsat() == 0, done == 0
+                    )
+                    iters = jnp.where(newly, (r + 1) * K, iters)
+                    done = jnp.where(newly, 1, done)
+                    return r + 1, done, iters
+
+                _, _, iters = jax.lax.while_loop(
+                    cond, body, (jnp.int32(0), done0, iters0)
+                )
+                iters_ref[...] = iters
+            else:
+                def one_iteration(_, carry):
+                    bp_iter(None)
+                    return carry
+
+                jax.lax.fori_loop(0, iterations, one_iteration, 0)
+
+            for j in range(nb):
+                out_ref[j] = post_ref[j]
+
+        if with_done_in:
+            # a tile whose lanes are all pre-converged skips everything
+            # (its output block is never read by the requeue caller)
+            @pl.when(jnp.sum(done_ref[...]) < done_ref.shape[-1])
+            def _():
+                run()
         else:
-            def one_iteration(_, carry):
-                bp_iter(None)
-                return carry
-
-            jax.lax.fori_loop(0, iterations, one_iteration, 0)
-
-        for j in range(nb):
-            out_ref[j] = post_ref[j]
+            run()
 
     return kernel, (mb, dc_max, nb, z)
 
@@ -307,8 +354,9 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
 @functools.partial(
     jax.jit,
     static_argnames=("qc", "iterations", "method", "alpha", "beta",
-                     "clamp", "early_stop", "msg_qbits", "msg_qclip",
-                     "schedule", "tile", "output", "dtype", "interpret"),
+                     "clamp", "early_stop", "es_check_every", "msg_qbits",
+                     "msg_qclip", "schedule", "tile", "output", "dtype",
+                     "interpret"),
 )
 def bp_qc_pallas(
     llr: jnp.ndarray,
@@ -319,6 +367,8 @@ def bp_qc_pallas(
     beta: float = 0.0,
     clamp: float | None = None,
     early_stop: bool = False,
+    es_check_every: int = 1,
+    done_in: jnp.ndarray | None = None,
     msg_qbits: int | None = None,
     msg_qclip: float = 20.0,
     schedule: str = "flooding",
@@ -334,7 +384,14 @@ def bp_qc_pallas(
     ``early_stop``: per-codeword syndrome termination (lane freeze +
     whole-tile exit); with ``output='hard_iters'`` returns
     ``(bits, iters)`` where ``iters[b]`` is the number of BP iterations
-    codeword ``b`` actually ran. ``schedule``: 'flooding' (one big
+    codeword ``b`` actually ran. ``es_check_every``: check syndromes
+    every K iterations instead of every one (the check costs ~one
+    iteration's VPU work, so K>1 trades a coarser exit for much cheaper
+    iterations; must divide ``iterations``). ``done_in``: optional
+    (batch,) lane mask of already-converged codewords (requeue pass 2):
+    a tile whose lanes are ALL flagged skips every compute — **its
+    output block is garbage**, the caller must keep the earlier pass's
+    result for flagged lanes. ``schedule``: 'flooding' (one big
     vectorized check update) or 'layered' (serial-C sweep over the mb
     block rows — ~2x fewer iterations at the same BER; one "iteration"
     = one full sweep). ``dtype``: message storage dtype (float32 or
@@ -346,6 +403,13 @@ def bp_qc_pallas(
         raise ValueError(f"unknown schedule {schedule!r}")
     if output == "hard_iters" and not early_stop:
         raise ValueError("output='hard_iters' requires early_stop=True")
+    if es_check_every < 1 or iterations % es_check_every:
+        raise ValueError(
+            f"es_check_every={es_check_every} must divide "
+            f"iterations={iterations}"
+        )
+    if done_in is not None and not early_stop:
+        raise ValueError("done_in requires early_stop=True")
     B, n = llr.shape
     z, nb = qc.z, qc.nb
     if n != nb * z:
@@ -356,7 +420,9 @@ def bp_qc_pallas(
 
     kernel, (mb, dc_max, nb, z) = _build_kernel(
         qc, iterations, alpha, beta, method, clamp,
-        early_stop=early_stop, msg_qbits=msg_qbits, msg_qclip=msg_qclip,
+        early_stop=early_stop, es_check_every=es_check_every,
+        with_done_in=done_in is not None,
+        msg_qbits=msg_qbits, msg_qclip=msg_qclip,
         schedule=schedule, dtype=dtype,
     )
 
@@ -366,7 +432,9 @@ def bp_qc_pallas(
     # scratch (msg + posterior planes) + double-buffered in/out blocks
     # exceed the 16 MB default scoped-vmem budget at tile=128 on
     # (1944,972); raise the cap toward the chip's physical VMEM
-    # (v5e: 128 MB).
+    # (v5e: 128 MB). The 2x factor covers Mosaic's internal temporaries,
+    # plus a fixed 8 MB margin (measured: tile=256 f32 on (1944,972)
+    # needs 37.04 MB vs 34.17 MB from the bare 2x formula).
     itemsize = dtype.itemsize
     vmem_bytes = itemsize * (
         2 * 2 * nb * z * tile  # in + out blocks, double-buffered
@@ -374,8 +442,21 @@ def bp_qc_pallas(
     )
     params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary",),
-        vmem_limit_bytes=min(max(32 * 2**20, 2 * vmem_bytes), 100 * 2**20),
+        vmem_limit_bytes=min(
+            max(32 * 2**20, 2 * vmem_bytes + 8 * 2**20), 120 * 2**20
+        ),
     )
+    in_specs = [
+        pl.BlockSpec((nb, z, tile), lambda b: (0, 0, b),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [lv]
+    if done_in is not None:
+        in_specs.append(
+            pl.BlockSpec((1, tile), lambda b: (0, b),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(done_in.reshape(1, B).astype(jnp.int32))
     out_shape = [jax.ShapeDtypeStruct((nb, z, B), dtype)]
     out_specs = [
         pl.BlockSpec((nb, z, tile), lambda b: (0, 0, b),
@@ -390,10 +471,7 @@ def bp_qc_pallas(
     outs = pl.pallas_call(
         kernel,
         grid=(B // tile,),
-        in_specs=[
-            pl.BlockSpec((nb, z, tile), lambda b: (0, 0, b),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs) if early_stop else out_specs[0],
         out_shape=tuple(out_shape) if early_stop else out_shape[0],
         scratch_shapes=[
@@ -402,7 +480,7 @@ def bp_qc_pallas(
         ],
         compiler_params=params,
         interpret=interpret,
-    )(lv)
+    )(*operands)
 
     post = outs[0] if early_stop else outs
     iters = outs[1][0] if early_stop else None  # (B,) int32
@@ -411,6 +489,92 @@ def bp_qc_pallas(
         return (-post).reshape(n, B).T.astype(jnp.float32)
     bits = (post.reshape(n, B) < 0).astype(jnp.int8).T
     if output == "hard_iters":
+        return bits, iters
+    return bits
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qc", "iterations", "probe_iters", "method", "alpha",
+                     "beta", "clamp", "es_check_every", "msg_qbits",
+                     "msg_qclip", "schedule", "tile", "output", "dtype",
+                     "interpret"),
+)
+def bp_qc_requeue(
+    llr: jnp.ndarray,
+    qc: QcStructure,
+    iterations: int = 20,
+    probe_iters: int = 4,
+    method: str = "min-sum",
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    clamp: float | None = None,
+    es_check_every: int = 2,
+    msg_qbits: int | None = None,
+    msg_qclip: float = 20.0,
+    schedule: str = "flooding",
+    tile: int = 128,
+    output: str = "hard",
+    dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Early-stop decode as probe + straggler-requeue (two kernel passes).
+
+    The single-pass early-stop kernel exits a tile only when *all*
+    ``tile`` lanes are done — the tile trip count is the max, not the
+    mean, of its lanes (measured at 2.5 dB on (1944,972): mean 3.27
+    iterations, per-tile max ≈ 6, so a third of the win is forfeit —
+    and the per-iteration syndrome check costs ~one extra iteration of
+    VPU work on top). This driver restores mean-iterations scaling:
+
+    1. **probe pass** — every codeword gets a cheap fixed budget of
+       ``probe_iters`` iterations (early-stop, syndromes checked every
+       ``es_check_every``); ≥97% of codewords converge here at the
+       operating point;
+    2. **pack** — codewords are sorted converged-first (a static
+       argsort; measured: sorting packs stragglers essentially ideally,
+       sum-of-tile-max 212 vs 209 ideal vs 326 unsorted);
+    3. **requeue pass** — the sorted batch re-enters the kernel with
+       the converged mask as ``done_in``: fully-converged tiles skip
+       all compute at entry, only the few straggler tiles decode, with
+       the full ``iterations`` budget (a fresh start with budget N ≥
+       continuing the probe state for N−probe more — BER can only
+       match or beat fixed-N).
+
+    Returns bits, or ``(bits, iters)`` for ``output='hard_iters'``
+    where iters counts total BP iterations applied to each codeword
+    (probe + requeue for stragglers).
+    """
+    if output not in ("hard", "hard_iters"):
+        raise ValueError("bp_qc_requeue outputs hard bits only")
+    B = llr.shape[0]
+    bits1, iters1 = bp_qc_pallas(
+        llr, qc, iterations=probe_iters, method=method, alpha=alpha,
+        beta=beta, clamp=clamp, early_stop=True,
+        es_check_every=es_check_every, msg_qbits=msg_qbits,
+        msg_qclip=msg_qclip, schedule=schedule, tile=tile,
+        output="hard_iters", dtype=dtype, interpret=interpret,
+    )
+    # converged := finished under budget at a checked state; lanes that
+    # report the full budget may have converged exactly there, but
+    # re-decoding them is merely redundant, never wrong
+    done = iters1 < probe_iters
+    order = jnp.argsort(done.astype(jnp.int32), descending=True,
+                        stable=True)
+    inv = jnp.zeros((B,), jnp.int32).at[order].set(
+        jnp.arange(B, dtype=jnp.int32)
+    )
+    bits2, iters2 = bp_qc_pallas(
+        llr[order], qc, iterations=iterations, method=method, alpha=alpha,
+        beta=beta, clamp=clamp, early_stop=True,
+        es_check_every=es_check_every,
+        done_in=done[order], msg_qbits=msg_qbits, msg_qclip=msg_qclip,
+        schedule=schedule, tile=tile, output="hard_iters", dtype=dtype,
+        interpret=interpret,
+    )
+    bits = jnp.where(done[:, None], bits1, bits2[inv])
+    if output == "hard_iters":
+        iters = jnp.where(done, iters1, probe_iters + iters2[inv])
         return bits, iters
     return bits
 

@@ -295,12 +295,16 @@ def bp_decode(
     beta: float = 0.0,
     clamp: float | None = None,
     early_stop: bool = False,
+    es_mode: str = "freeze",
+    es_check_every: int = 1,
+    es_probe_iters: int = 4,
     msg_qbits: int | None = None,
     msg_qclip: float = 20.0,
     weights: dict[str, Any] | None = None,
     output: str = "hard",
     backend: str = "auto",
     schedule: str = "flooding",
+    tile: int | None = None,
     dtype=jnp.float32,
 ) -> jnp.ndarray | tuple:
     """Decode a batch of codewords with iterative BP.
@@ -318,6 +322,16 @@ def bp_decode(
         freezes (its messages stop updating) at its first
         syndrome-satisfying state; the ``lax.while_loop`` exits once
         every codeword is done. Not combinable with ``weights``.
+      es_mode: 'freeze' (default, semantics above) or 'requeue'
+        (pallas/QC only): a cheap ``es_probe_iters``-budget probe pass
+        decodes everything, then only unconverged codewords — packed
+        into dense lane tiles — re-decode with the full budget. At
+        operating SNRs this approaches mean-iterations scaling instead
+        of per-tile-max scaling (see ``kernels.minsum_qc.bp_qc_requeue``).
+      es_check_every: check syndromes every K iterations instead of
+        every iteration (pallas backend only; the check costs about one
+        iteration of VPU work). Must divide ``iterations``.
+      es_probe_iters: probe-pass budget for ``es_mode='requeue'``.
       msg_qbits/msg_qclip: optional uniform quantization of c2v messages
         each iteration (quantized-decoder study).
       weights: optional neural-BP weight pytree from
@@ -335,6 +349,9 @@ def bp_decode(
       schedule: 'flooding' (all checks in parallel, the reference's
         schedule) | 'layered' (serial-C row-layered — converges in ~half
         the iterations; QC codes only, roll or pallas backend).
+      tile: pallas lane-tile override; None = measured per-(code, dtype,
+        schedule) default (``kernels.minsum_qc.default_tile``). Ignored
+        by non-pallas backends.
     """
     if method not in ("min-sum", "sum-product", "sum-product-ref"):
         raise ValueError(f"unknown method {method!r}")
@@ -352,6 +369,8 @@ def bp_decode(
             )
     if early_stop and weights is not None:
         raise ValueError("early_stop with neural-BP weights is unsupported")
+    if es_mode not in ("freeze", "requeue"):
+        raise ValueError(f"unknown es_mode {es_mode!r}")
     if weights is not None and "w_pair" in weights and backend != "gather":
         if backend != "auto":
             raise ValueError("pair-flavor weights need backend='gather'")
@@ -371,6 +390,17 @@ def bp_decode(
             backend = "dense"
         else:
             backend = "gather"
+    if early_stop and (es_mode != "freeze" or es_check_every != 1):
+        if backend != "pallas":
+            raise ValueError(
+                "es_mode='requeue' / es_check_every>1 are pallas-only "
+                f"(resolved backend: {backend!r}); pass backend='pallas' "
+                "(interpret mode runs it off-TPU)"
+            )
+        if es_mode == "requeue" and output not in ("hard", "hard_iters"):
+            raise ValueError(
+                "es_mode='requeue' supports output='hard'/'hard_iters' only"
+            )
     if backend == "pallas":
         if qc is None:
             raise ValueError("pallas backend requires a quasi-cyclic LdpcCode")
@@ -380,25 +410,43 @@ def bp_decode(
                 "pallas backend supports method in (min-sum, sum-product), "
                 "no weights, output in (hard, hard_iters, posterior, soft)"
             )
-        from ldpc_sims_tpu.kernels.minsum_qc import bp_qc_pallas
+        from ldpc_sims_tpu.kernels.minsum_qc import (
+            bp_qc_pallas,
+            bp_qc_requeue,
+            default_tile,
+        )
 
         B = llr.shape[0]
-        tile = 128
+        if tile is None:
+            tile = default_tile(qc, dtype, schedule)
         pad = (-B) % tile
         if pad:
+            # padding lanes carry zero LLRs → posterior 0 → hard bits 0
+            # (all-zero codeword): syndrome-satisfied at entry, so they
+            # are inert under early stop and stripped before return
             llr = jnp.concatenate(
                 [llr, jnp.zeros((pad, llr.shape[1]), llr.dtype)], axis=0
             )
-        out = bp_qc_pallas(
-            llr, qc, iterations=iterations, method=method, alpha=alpha,
-            beta=beta, clamp=clamp, early_stop=early_stop,
-            msg_qbits=msg_qbits, msg_qclip=msg_qclip, schedule=schedule,
-            tile=tile,
+        interp = jax.default_backend() not in ("tpu", "axon")
+        kw = dict(
+            iterations=iterations, method=method, alpha=alpha,
+            beta=beta, clamp=clamp, msg_qbits=msg_qbits,
+            msg_qclip=msg_qclip, schedule=schedule, tile=tile,
             output="posterior" if output in ("posterior", "soft") else output,
             dtype=dtype,
             # off-TPU (tests, CPU meshes) the kernel runs in interpret mode
-            interpret=jax.default_backend() not in ("tpu", "axon"),
+            interpret=interp,
         )
+        if early_stop and es_mode == "requeue":
+            out = bp_qc_requeue(
+                llr, qc, probe_iters=es_probe_iters,
+                es_check_every=es_check_every, **kw,
+            )
+        else:
+            out = bp_qc_pallas(
+                llr, qc, early_stop=early_stop,
+                es_check_every=es_check_every if early_stop else 1, **kw,
+            )
         if output == "hard_iters":
             bits, iters = out
             return (bits[:B], iters[:B]) if pad else (bits, iters)

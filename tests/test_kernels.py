@@ -251,3 +251,101 @@ def test_pallas_layered_dispatch(rng):
                           schedule="flooding", early_stop=True,
                           output="hard_iters", backend="pallas")
     assert float(np.mean(np.array(it_lay))) < float(np.mean(np.array(it_flo)))
+
+
+def test_pallas_es_check_every(rng):
+    """K>1 syndrome checking: same bits, iteration counts rounded up to
+    the next checked multiple of K (never below the K=1 counts)."""
+    from ldpc_sims_tpu.kernels import bp_qc_pallas
+
+    w = get_code("wifi648")
+    u = rng.integers(0, 2, (128, w.k)).astype(np.uint8)
+    cw = w.encode_np(u)
+    scale = rng.uniform(0.8, 6.0, (128, 1))
+    llr = jnp.asarray((2.0 * cw - 1.0) * scale + rng.normal(0, 1.0, cw.shape),
+                      jnp.float32)
+    b1, it1 = bp_qc_pallas(llr, w.qc, iterations=12, method="min-sum",
+                           early_stop=True, output="hard_iters",
+                           interpret=True)
+    b3, it3 = bp_qc_pallas(llr, w.qc, iterations=12, method="min-sum",
+                           early_stop=True, es_check_every=3,
+                           output="hard_iters", interpret=True)
+    it1, it3 = np.array(it1), np.array(it3)
+    assert np.all(it3 % 3 == 0)
+    assert np.all(it3 >= it1)
+    # a lane frozen at a checked state is syndrome-clean
+    from ldpc_sims_tpu.ops.bp import syndrome
+
+    s = np.array(syndrome(jnp.asarray(np.array(b3)), w.H)).sum(axis=1)
+    conv = it3 < 12
+    assert np.all(s[conv] == 0)
+
+
+def test_pallas_requeue_matches_fixed(rng):
+    """Probe+requeue returns the same bits as the fixed-budget decode
+    (converged lanes are syndrome-clean freezes; stragglers restart from
+    zero messages — the identical trajectory)."""
+    from ldpc_sims_tpu.kernels import bp_qc_requeue
+    from ldpc_sims_tpu.ops.bp import syndrome
+
+    w = get_code("wifi648")
+    u = rng.integers(0, 2, (256, w.k)).astype(np.uint8)
+    cw = w.encode_np(u)
+    scale = rng.uniform(0.9, 5.0, (256, 1))
+    llr = jnp.asarray((2.0 * cw - 1.0) * scale + rng.normal(0, 1.0, cw.shape),
+                      jnp.float32)
+    bits_f = np.array(bp_decode(llr, w, iterations=12, method="min-sum",
+                                backend="roll"))
+    bits_q, it_q = bp_qc_requeue(llr, w.qc, iterations=12, probe_iters=4,
+                                 es_check_every=2, output="hard_iters",
+                                 interpret=True)
+    bits_q, it_q = np.array(bits_q), np.array(it_q)
+    # decode quality: statistically equal to fixed-budget (an early
+    # freeze at a *valid* codeword can differ from where the fixed
+    # decode drifts on undetected-error lanes — either may win by luck)
+    assert (bits_q != cw).mean() <= (bits_f != cw).mean() + 1e-3
+    # every lane that converged under budget is a valid codeword
+    s = np.array(syndrome(jnp.asarray(bits_q), w.H)).sum(axis=1)
+    conv = it_q < 4 + 12
+    assert np.all(s[conv & (it_q < 4)] == 0)  # probe-converged lanes
+    assert it_q.shape == (256,)
+
+
+def test_pallas_requeue_dispatch(rng):
+    """bp_decode(es_mode='requeue'): pad-to-tile path + hard output."""
+    w = get_code("wifi648")
+    u = rng.integers(0, 2, (37, w.k)).astype(np.uint8)
+    cw = w.encode_np(u)
+    llr = jnp.asarray((2.0 * cw - 1.0) * 6.0, jnp.float32)
+    bits = bp_decode(llr, w, iterations=8, method="min-sum",
+                     early_stop=True, es_mode="requeue", es_probe_iters=4,
+                     es_check_every=2, backend="pallas")
+    assert np.array(bits).shape == (37, w.n)
+    np.testing.assert_array_equal(np.array(bits), cw)
+    bits2, iters2 = bp_decode(llr, w, iterations=8, method="min-sum",
+                              early_stop=True, es_mode="requeue",
+                              output="hard_iters", backend="pallas")
+    np.testing.assert_array_equal(np.array(bits2), cw)
+    assert np.array(iters2).max() == 0  # clean codewords: probe iters 0
+
+
+def test_es_knob_validation():
+    from ldpc_sims_tpu.kernels import bp_qc_pallas, bp_qc_requeue
+
+    w = get_code("wifi648")
+    z = jnp.zeros((128, w.n), jnp.float32)
+    with pytest.raises(ValueError, match="must divide"):
+        bp_qc_pallas(z, w.qc, iterations=10, early_stop=True,
+                     es_check_every=3, interpret=True)
+    with pytest.raises(ValueError, match="requires early_stop"):
+        bp_qc_pallas(z, w.qc, iterations=10,
+                     done_in=jnp.zeros((128,), jnp.int32), interpret=True)
+    with pytest.raises(ValueError, match="hard bits only"):
+        bp_qc_requeue(z, w.qc, iterations=10, output="posterior",
+                      interpret=True)
+    with pytest.raises(ValueError, match="pallas-only"):
+        bp_decode(z, w, iterations=10, early_stop=True, es_mode="requeue",
+                  backend="roll")
+    with pytest.raises(ValueError, match="hard"):
+        bp_decode(z, w, iterations=10, early_stop=True, es_mode="requeue",
+                  output="posterior", backend="pallas")
