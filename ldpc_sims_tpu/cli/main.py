@@ -41,11 +41,16 @@ PRESETS: dict[str, dict] = {
         sweep=dict(snrdb=(2.0,), batch_cw=1024, target_frame_errors=50,
                    max_info_bits=2e6),
     ),
-    # 2: 802.11n (648,324), Eb/N0 sweep 0-6 dB, 20-iter sum-product
+    # 2: 802.11n (648,324), Eb/N0 sweep 0-6 dB, 20-iter sum-product.
+    #    QC default schedule is layered + per-codeword early stop
+    #    (BER-parity-guarded in bench.py; docs/artifacts/
+    #    20260820_es_tuning.json) — flooding remains the reference-
+    #    semantics schedule (bp/bp.py:46-47), used by preset 5.
     "wifi648-sweep": dict(
         code="wifi648",
         link=dict(modulation="qpsk", bp_iterations=20,
-                  bp_method="sum-product", clamp=None, ofdm_size=32),
+                  bp_method="sum-product", clamp=None, ofdm_size=32,
+                  bp_schedule="layered", early_stop=True),
         sweep=dict(snrdb=tuple(np.linspace(0, 6, 13).tolist()),
                    batch_cw=4096, target_frame_errors=100),
     ),
@@ -58,11 +63,13 @@ PRESETS: dict[str, dict] = {
                    batch_cw=4096, target_frame_errors=100),
         msg_qbits_grid=(3, 4, 5),
     ),
-    # 4: OFDM end-to-end 64-subcarrier QAM-16 chain
+    # 4: OFDM end-to-end 64-subcarrier QAM-16 chain (layered QC default,
+    #    see preset 2 note)
     "ofdm-qam16": dict(
         code="wifi1944",
         link=dict(modulation="qam16", bp_iterations=20,
-                  bp_method="min-sum", clamp=None, ofdm_size=64),
+                  bp_method="min-sum", clamp=None, ofdm_size=64,
+                  bp_schedule="layered", early_stop=True),
         sweep=dict(snrdb=tuple(np.linspace(4, 12, 9).tolist()),
                    batch_cw=4096, target_frame_errors=100),
     ),
@@ -151,11 +158,18 @@ def cmd_sweep(args) -> None:
         manifest = args.manifest or os.path.join(
             args.out, f"{stamp}_sweep{tag}.json"
         )
-        from ldpc_sims_tpu.utils import MetricsLogger
+        from ldpc_sims_tpu.utils import MetricsLogger, profile_trace
 
         metrics = MetricsLogger(os.path.join(args.out, "metrics.jsonl"))
-        result = run_sweep(code, link_q, sweep, manifest_path=manifest,
-                           metrics=metrics)
+        trace_dir = (
+            os.path.join(args.out, f"{stamp}_trace{tag}")
+            if getattr(args, "profile", False) else None
+        )
+        with profile_trace(trace_dir):
+            result = run_sweep(code, link_q, sweep, manifest_path=manifest,
+                               metrics=metrics)
+        if trace_dir:
+            print(f"profiler trace -> {trace_dir}")
         out = {
             "code": code.name,
             "link": dataclasses.asdict(link_q),
@@ -540,6 +554,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="reuse an existing sweep manifest (resume an "
                          "interrupted sweep instead of starting fresh)")
     sp.add_argument("--plot", action="store_true")
+    sp.add_argument("--profile", action="store_true",
+                    help="wrap the sweep in a jax.profiler trace "
+                         "(written under --out)")
     sp.set_defaults(fn=cmd_sweep)
 
     sp = sub.add_parser("train-llr", help="train an LLR estimator")

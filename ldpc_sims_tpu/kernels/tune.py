@@ -1,9 +1,15 @@
 """Kernel tuning sweep: measure bp_qc_pallas across tile sizes / dtypes.
 
 Small utility behind ``python -m ldpc_sims_tpu.kernels.tune`` — times the
-decode kernel on the current device for a grid of (tile, dtype) choices
-and prints one JSON line per point. Used to pick the dispatch defaults
-in ops/bp.py (and to re-check them when libtpu/Mosaic versions move).
+decode kernel on the current device for a grid of (tile, dtype,
+schedule) choices and prints one JSON line per point. Its output feeds
+the dispatch table ``kernels.minsum_qc._TILE_TABLE`` (consumed through
+``default_tile`` by ``bp_decode``); re-run when libtpu/Mosaic versions
+move and record the result under ``docs/artifacts/`` (latest:
+``20260820_kernel_tile_r3.jsonl`` — tile=128/f32 fastest everywhere, so
+the table holds no overrides). Known envelope on v5e: f32 tiles ≤ 512
+and bf16 tiles ≤ 256 compile; beyond that Mosaic's scoped-VMEM request
+exceeds the chip.
 """
 
 from __future__ import annotations

@@ -146,7 +146,10 @@ def run_sweep(
     path. ``metrics``: optional :class:`~ldpc_sims_tpu.utils.MetricsLogger`
     receiving one event per step and per finished point.
     """
+    from ldpc_sims_tpu.utils.metrics import PhaseTimer
+
     step = mc_step(code, link_cfg, sweep.batch_cw, mesh, weights)
+    timer = PhaseTimer()  # compile+first step vs steady-state split
 
     state: dict[str, Any] = {"points": {}}
     if manifest_path and os.path.exists(manifest_path):
@@ -173,9 +176,13 @@ def run_sweep(
 
         while not _point_done(acc, sweep):
             skey = jax.random.fold_in(point_key, int(acc["steps"]))
+            phase = (
+                "compile+first-step" if not timer.counts else "steady-step"
+            )
             t0 = time.perf_counter()
-            counts = step(skey, snrdb)
-            counts = {k: float(v) for k, v in counts.items()}
+            with timer.phase(phase):
+                counts = step(skey, snrdb)
+                counts = {k: float(v) for k, v in counts.items()}
             dt = time.perf_counter() - t0
             acc["wall_s"] += dt
             for k in _COUNT_KEYS:
@@ -206,6 +213,15 @@ def run_sweep(
                 f"BLER={result.coded_bler[-1]:.3e}  "
                 f"({acc['info_bits']:.2e} info bits, {acc['wall_s']:.1f}s)"
             )
+    phases = timer.summary()
+    if metrics is not None and phases:
+        metrics.log("sweep-phases", **phases)
+    if log and phases:
+        parts = ", ".join(
+            f"{k}: {v['total_s']:.2f}s/{v['count']}" for k, v in
+            phases.items()
+        )
+        log(f"phases: {parts}")
     return result
 
 

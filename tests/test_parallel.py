@@ -146,7 +146,7 @@ def test_sweep_metrics_and_save_cadence(tmp_path):
     cfg = LinkConfig(bp_iterations=3)
     sweep = SweepConfig(
         snrdb=(4.0,), batch_cw=256, target_frame_errors=3,
-        min_info_bits=256 * 32, max_info_bits=2 * 256 * 32,
+        min_info_bits=2 * 256 * 32, max_info_bits=2 * 256 * 32,
     )
     mpath = str(tmp_path / "m.json")
     metrics = MetricsLogger(str(tmp_path / "metrics.jsonl"))
@@ -156,6 +156,10 @@ def test_sweep_metrics_and_save_cadence(tmp_path):
     events = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
     kinds = {e["event"] for e in events}
     assert "sweep-step" in kinds and "sweep-point" in kinds
+    # PhaseTimer wiring: compile+first step is split from steady-state
+    phases = [e for e in events if e["event"] == "sweep-phases"]
+    assert phases and phases[0]["compile+first-step"]["count"] == 1
+    assert phases[0]["steady-step"]["count"] >= 1
 
 
 def test_mc_step_scalar_key_replicated():
