@@ -96,6 +96,7 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                   msg_qbits: int | None = None,
                   msg_qclip: float = 20.0,
                   schedule: str = "flooding",
+                  layered_group: int = 1,
                   dtype=jnp.float32):
     planes, group_c, group_v = qc_plan(qc)
     mb, nb, z = qc.mb, qc.nb, qc.z
@@ -249,32 +250,52 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
             stamp_pads()
 
         def layered_sweep(done):
-            """One serial-C sweep: each check block-row reads the
-            *current* posterior, so later rows inside the same sweep see
-            earlier rows' improvements (``_decode_layered`` semantics in
-            ops/bp_roll.py — per-row exclusive update, message delta
-            folded straight back into the posterior). Rows use their own
-            degree (no dc_max padding); pad slots are never touched.
+            """One group-serial sweep (serial-C generalized over row
+            groups): groups of ``layered_group`` consecutive check
+            block-rows update together flooding-style from the *current*
+            posterior, groups are serial — later groups inside the same
+            sweep see earlier groups' improvements. ``layered_group=1``
+            is the classic serial-C layered schedule (``_decode_layered``
+            semantics in ops/bp_roll.py); ``layered_group=mb`` is
+            arithmetically identical to one flooding iteration (the
+            posterior delta update telescopes). Intermediate sizes trade
+            convergence speed for fewer, larger VPU ops — the per-row
+            check update on a (dc, z, tile) tensor is op-scheduling-
+            bound, not element-bound. Pad slots inside a group are
+            filled with +_BIG at build time (inert in both check rules;
+            never written back).
             """
             keep = None if done is None else (done > 0)
-            for i, slots in enumerate(row_slots):
-                # v2c for this row from the current posterior
-                xs = jnp.stack(
-                    [
-                        _roll(ld(post_ref[j]), -s) - ld(msg_ref[i, k])
-                        for (k, j, s) in slots
-                    ]
-                )  # (deg_i, z, tile)
-                y = check_excl(xs, 0)
-                for d, (k, j, s) in enumerate(slots):
-                    old = ld(msg_ref[i, k])
-                    new = y[d]
-                    if keep is not None:
-                        new = jnp.where(keep, old, new)
-                    post_ref[j] = (
-                        ld(post_ref[j]) + _roll(new - old, s)
-                    ).astype(dtype)
-                    msg_ref[i, k] = new.astype(dtype)
+            for g0 in range(0, mb, layered_group):
+                rows = list(
+                    enumerate(row_slots[g0:g0 + layered_group], g0)
+                )
+                # v2c for the group's rows from the current posterior,
+                # padded to dc_max so one check_excl serves all rows
+                planes = []
+                for i, slots in rows:
+                    for (k, j, s) in slots:
+                        planes.append(
+                            _roll(ld(post_ref[j]), -s) - ld(msg_ref[i, k])
+                        )
+                    for _ in range(dc_max - len(slots)):
+                        planes.append(
+                            jnp.full(planes[-1].shape, _BIG, f32)
+                        )
+                xs = jnp.stack(planes).reshape(
+                    len(rows), dc_max, *planes[0].shape
+                )
+                y = check_excl(xs, 1)
+                for gi, (i, slots) in enumerate(rows):
+                    for (k, j, s) in slots:
+                        old = ld(msg_ref[i, k])
+                        new = y[gi, k]
+                        if keep is not None:
+                            new = jnp.where(keep, old, new)
+                        post_ref[j] = (
+                            ld(post_ref[j]) + _roll(new - old, s)
+                        ).astype(dtype)
+                        msg_ref[i, k] = new.astype(dtype)
 
         def bp_iter(done):
             if schedule == "layered":
@@ -355,8 +376,8 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
     jax.jit,
     static_argnames=("qc", "iterations", "method", "alpha", "beta",
                      "clamp", "early_stop", "es_check_every", "msg_qbits",
-                     "msg_qclip", "schedule", "tile", "output", "dtype",
-                     "interpret"),
+                     "msg_qclip", "schedule", "layered_group", "tile",
+                     "output", "dtype", "interpret"),
 )
 def bp_qc_pallas(
     llr: jnp.ndarray,
@@ -372,6 +393,7 @@ def bp_qc_pallas(
     msg_qbits: int | None = None,
     msg_qclip: float = 20.0,
     schedule: str = "flooding",
+    layered_group: int = 1,
     tile: int = 128,
     output: str = "hard",
     dtype=jnp.float32,
@@ -418,12 +440,14 @@ def bp_qc_pallas(
         raise ValueError(f"batch {B} not a multiple of tile {tile}")
     dtype = jnp.dtype(dtype)
 
+    if layered_group < 1 or (layered_group > 1 and schedule != "layered"):
+        raise ValueError("layered_group needs schedule='layered'")
     kernel, (mb, dc_max, nb, z) = _build_kernel(
         qc, iterations, alpha, beta, method, clamp,
         early_stop=early_stop, es_check_every=es_check_every,
         with_done_in=done_in is not None,
         msg_qbits=msg_qbits, msg_qclip=msg_qclip,
-        schedule=schedule, dtype=dtype,
+        schedule=schedule, layered_group=layered_group, dtype=dtype,
     )
 
     # internal convention log(Pr0/Pr1), variable-block-major planes
@@ -497,8 +521,8 @@ def bp_qc_pallas(
     jax.jit,
     static_argnames=("qc", "iterations", "probe_iters", "method", "alpha",
                      "beta", "clamp", "es_check_every", "msg_qbits",
-                     "msg_qclip", "schedule", "tile", "output", "dtype",
-                     "interpret"),
+                     "msg_qclip", "schedule", "layered_group", "tile",
+                     "output", "dtype", "interpret"),
 )
 def bp_qc_requeue(
     llr: jnp.ndarray,
@@ -513,6 +537,7 @@ def bp_qc_requeue(
     msg_qbits: int | None = None,
     msg_qclip: float = 20.0,
     schedule: str = "flooding",
+    layered_group: int = 1,
     tile: int = 128,
     output: str = "hard",
     dtype=jnp.float32,
@@ -552,7 +577,8 @@ def bp_qc_requeue(
         llr, qc, iterations=probe_iters, method=method, alpha=alpha,
         beta=beta, clamp=clamp, early_stop=True,
         es_check_every=es_check_every, msg_qbits=msg_qbits,
-        msg_qclip=msg_qclip, schedule=schedule, tile=tile,
+        msg_qclip=msg_qclip, schedule=schedule,
+        layered_group=layered_group, tile=tile,
         output="hard_iters", dtype=dtype, interpret=interpret,
     )
     # converged := finished under budget at a checked state; lanes that
@@ -569,8 +595,8 @@ def bp_qc_requeue(
         beta=beta, clamp=clamp, early_stop=True,
         es_check_every=es_check_every,
         done_in=done[order], msg_qbits=msg_qbits, msg_qclip=msg_qclip,
-        schedule=schedule, tile=tile, output="hard_iters", dtype=dtype,
-        interpret=interpret,
+        schedule=schedule, layered_group=layered_group, tile=tile,
+        output="hard_iters", dtype=dtype, interpret=interpret,
     )
     bits = jnp.where(done[:, None], bits1, bits2[inv])
     if output == "hard_iters":

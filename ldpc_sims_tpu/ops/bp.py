@@ -304,6 +304,7 @@ def bp_decode(
     output: str = "hard",
     backend: str = "auto",
     schedule: str = "flooding",
+    layered_group: int = 1,
     tile: int | None = None,
     dtype=jnp.float32,
 ) -> jnp.ndarray | tuple:
@@ -349,6 +350,10 @@ def bp_decode(
       schedule: 'flooding' (all checks in parallel, the reference's
         schedule) | 'layered' (serial-C row-layered — converges in ~half
         the iterations; QC codes only, roll or pallas backend).
+      layered_group: rows per serial group of the layered schedule
+        (pallas only): 1 = classic serial-C; mb = arithmetically one
+        flooding iteration; intermediate sizes trade convergence speed
+        for fewer, larger VPU ops.
       tile: pallas lane-tile override; None = measured per-(code, dtype,
         schedule) default (``kernels.minsum_qc.default_tile``). Ignored
         by non-pallas backends.
@@ -390,6 +395,8 @@ def bp_decode(
             backend = "dense"
         else:
             backend = "gather"
+    if layered_group != 1 and backend != "pallas":
+        raise ValueError("layered_group is pallas-only; pass backend='pallas'")
     if early_stop and (es_mode != "freeze" or es_check_every != 1):
         if backend != "pallas":
             raise ValueError(
@@ -431,7 +438,8 @@ def bp_decode(
         kw = dict(
             iterations=iterations, method=method, alpha=alpha,
             beta=beta, clamp=clamp, msg_qbits=msg_qbits,
-            msg_qclip=msg_qclip, schedule=schedule, tile=tile,
+            msg_qclip=msg_qclip, schedule=schedule,
+            layered_group=layered_group, tile=tile,
             output="posterior" if output in ("posterior", "soft") else output,
             dtype=dtype,
             # off-TPU (tests, CPU meshes) the kernel runs in interpret mode

@@ -349,3 +349,72 @@ def test_es_knob_validation():
     with pytest.raises(ValueError, match="hard"):
         bp_decode(z, w, iterations=10, early_stop=True, es_mode="requeue",
                   output="posterior", backend="pallas")
+
+
+def test_pallas_grouped_layered_endpoints(rng):
+    """layered_group spans the schedule family exactly: group=1 is the
+    serial-C layered schedule (== roll layered), group=mb telescopes to
+    one flooding iteration per sweep (== flooding), intermediate sizes
+    are distinct and converge between the two."""
+    from ldpc_sims_tpu.kernels import bp_qc_pallas
+
+    w = get_code("wifi648")
+    mb = w.qc.mb
+    llr = jnp.asarray(rng.normal(0, 3, (128, w.n)), jnp.float32)
+    roll_lay = np.array(
+        bp_decode(llr, w, iterations=4, method="min-sum",
+                  schedule="layered", backend="roll", output="posterior")
+    )
+    p1 = np.array(
+        bp_qc_pallas(llr, w.qc, iterations=4, method="min-sum",
+                     schedule="layered", layered_group=1, interpret=True,
+                     output="posterior")
+    )
+    np.testing.assert_allclose(p1, roll_lay, rtol=1e-4, atol=1e-4)
+    flood = np.array(
+        bp_qc_pallas(llr, w.qc, iterations=4, method="min-sum",
+                     interpret=True, output="posterior")
+    )
+    pmb = np.array(
+        bp_qc_pallas(llr, w.qc, iterations=4, method="min-sum",
+                     schedule="layered", layered_group=mb, interpret=True,
+                     output="posterior")
+    )
+    np.testing.assert_allclose(pmb, flood, rtol=1e-4, atol=1e-4)
+    p3 = np.array(
+        bp_qc_pallas(llr, w.qc, iterations=4, method="min-sum",
+                     schedule="layered", layered_group=3, interpret=True,
+                     output="posterior")
+    )
+    assert not np.allclose(p3, flood, atol=1e-4)
+    assert not np.allclose(p3, p1, atol=1e-4)
+
+
+def test_pallas_grouped_layered_convergence_order(rng):
+    """Mean early-stop iterations: layered <= grouped <= flooding."""
+    from ldpc_sims_tpu.kernels import bp_qc_pallas
+
+    w = get_code("wifi648")
+    u = rng.integers(0, 2, (128, w.k)).astype(np.uint8)
+    cw = w.encode_np(u)
+    llr = jnp.asarray((2.0 * cw - 1.0) * 2.0 + rng.normal(0, 1.0, cw.shape),
+                      jnp.float32)
+    means = {}
+    for tag, kw in [("flood", {}),
+                    ("g4", dict(schedule="layered", layered_group=4)),
+                    ("lay", dict(schedule="layered"))]:
+        _, it = bp_qc_pallas(llr, w.qc, iterations=30, method="min-sum",
+                             early_stop=True, output="hard_iters",
+                             interpret=True, **kw)
+        means[tag] = float(np.mean(np.array(it)))
+    assert means["lay"] <= means["g4"] <= means["flood"]
+
+
+def test_layered_group_validation():
+    w = get_code("wifi648")
+    with pytest.raises(ValueError, match="layered_group"):
+        bp_decode(jnp.zeros((128, w.n)), w, schedule="flooding",
+                  layered_group=2, backend="pallas")
+    with pytest.raises(ValueError, match="pallas-only"):
+        bp_decode(jnp.zeros((128, w.n)), w, schedule="layered",
+                  layered_group=2, backend="roll")
