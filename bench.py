@@ -18,13 +18,20 @@ one flooding iteration but converges in half the sweeps, so layered-10
 If the guard passes, the faster schedule is the headline; otherwise
 flooding-20 is. Both raw numbers always go to stderr.
 
-Compile-time note (VERDICT r2 #3): the dominant "compile" cost on this
-environment is NOT XLA/Mosaic and NOT a JAX-cache miss — it is the axon
-tunnel's server-side compile helper going cold after ~15 min idle
-(measured: the same program costs 130–550 s first-in-process when cold,
-1.5–7 s when warm, independent of the client-side persistent cache).
-The tiny warmup probe below absorbs that cost and reports it separately
-so per-config compile times reflect the real kernel cost.
+Compile-time note (VERDICT r2 #3), diagnosis chain measured 2026-08-20:
+(1) the JAX persistent-cache key IS stable across processes (component
+hashes verified identical); (2) the cache HITS ("Persistent compilation
+cache hit for 'jit_step'" logged) — and the first run STILL costs
+130-430 s, because on the axon remote-compile path executable
+deserialization re-does the real TPU compile server side; (3) each
+client process talks to its own tunnel server instance (distinct ports
+observed), so no server-side reuse across processes either. Net: the
+big-kernel compile is a ~2-7 min per-process cost that no client-side
+cache can remove; a warm process compiles further configurations in
+5-20 s. Mitigation = what this script does: batch every configuration
+into one process, absorb the first hit with the warmup probe below, and
+report it separately so per-config compile times reflect real kernel
+cost.
 
 Run on the default environment (one TPU chip). Secondary numbers go to
 stderr. Options: BENCH_BATCH (codewords per step), BENCH_STEPS,

@@ -116,6 +116,9 @@ def _link_cfg_from_args(args, **over) -> LinkConfig:
         clip_ratio=10 ** (args.clipdb / 10.0),
         agc=args.agc,
         early_stop=args.early_stop,
+        es_mode=getattr(args, "es_mode", "freeze"),
+        es_check_every=getattr(args, "es_check_every", 1),
+        bp_layered_group=getattr(args, "layered_group", 1),
     )
     fields.update(over)
     return LinkConfig(**fields)
@@ -530,6 +533,16 @@ def _add_common(sp: argparse.ArgumentParser) -> None:
     sp.add_argument("--agc", default="global",
                     choices=["global", "per-symbol"])
     sp.add_argument("--early-stop", action="store_true")
+    sp.add_argument("--es-mode", default="freeze",
+                    choices=["freeze", "requeue"],
+                    help="early-stop strategy (requeue: probe pass + "
+                         "re-decode packed stragglers; pallas/TPU only)")
+    sp.add_argument("--es-check-every", type=int, default=1,
+                    help="syndrome-check stride under --early-stop "
+                         "(pallas only; must divide --iters)")
+    sp.add_argument("--layered-group", type=int, default=1,
+                    help="rows per serial group of the layered schedule "
+                         "(1 = serial-C; pallas only)")
     sp.add_argument("--snr-unit", default="es", choices=["es", "eb"],
                     help="interpret --snr as symbol SNR (es) or Eb/N0 (eb)")
     sp.add_argument("--seed", type=int, default=0)

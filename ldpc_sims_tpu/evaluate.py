@@ -115,6 +115,9 @@ def evaluate_sweep(
                 method=link_cfg.bp_method, clamp=link_cfg.clamp,
                 alpha=link_cfg.alpha, beta=link_cfg.beta,
                 early_stop=link_cfg.early_stop,
+                es_mode=link_cfg.es_mode,
+                es_check_every=link_cfg.es_check_every,
+                layered_group=link_cfg.bp_layered_group,
                 msg_qbits=link_cfg.msg_qbits, msg_qclip=link_cfg.msg_qclip,
                 schedule=link_cfg.bp_schedule,
             )

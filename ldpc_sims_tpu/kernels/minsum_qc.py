@@ -17,15 +17,21 @@ kernel keeps the *entire* message state in VMEM across all iterations:
   the dc_max axis for all checks at once;
 * HBM traffic: LLRs in once, posteriors out once. Everything else VPU.
 
-Feature coverage (round 2): **per-codeword early termination** — each
-lane (codeword) freezes at its first syndrome-satisfying state and the
-whole tile exits once all 128 lanes are done (vs. the roll backend's
-old whole-batch exit, which forfeit the saving to one stubborn
-codeword); **message quantization** (``msg_qbits``/``msg_qclip``, the
-quantized-min-sum decoder study); **bf16 message storage** (halves VMEM
-→ headroom for bigger tiles / codes); **layered (serial-C) schedule**
-— per-row exclusive updates folded straight into the VMEM-resident
-posterior, ~2x fewer sweeps at the same BER. Semantics identical to
+Feature coverage: **per-codeword early termination** — each lane
+(codeword) freezes at its first syndrome-satisfying state (checked
+every ``es_check_every`` iterations) and the whole tile exits once all
+lanes are done; **straggler requeue** (:func:`bp_qc_requeue`) — cheap
+probe pass, pack unconverged codewords into dense tiles, re-decode only
+those (fully-converged tiles skip at entry via ``done_in``);
+**message quantization** (``msg_qbits``/``msg_qclip``, the
+quantized-min-sum decoder study); **bf16 message storage** (halves VMEM;
+measured storage-only — casts make it 5-15% slower than f32, see
+docs/artifacts/20260820_kernel_tile_r3.jsonl); **layered (serial-C)
+schedule** — per-row exclusive updates folded straight into the
+VMEM-resident posterior, half the sweeps at the same BER (the headline:
+layered-10 == flooding-20 BER at ~1.4x throughput), generalized by
+``layered_group`` to group-serial (G rows per step; G=mb == flooding,
+pinned by tests). Semantics identical to
 ``bp_decode(..., backend='roll')`` with ``weights=None`` (equivalence
 tests in interpret mode and on device).
 """

@@ -384,9 +384,18 @@ def bp_decode(
     qc = code.qc if isinstance(code, LdpcCode) else None
     g = code.graph if isinstance(code, LdpcCode) else code
 
+    # features only the pallas kernel implements: auto-select it for
+    # them on any platform (interpret mode serves CPU), not just on TPU
+    needs_pallas = layered_group != 1 or (
+        early_stop and (es_mode != "freeze" or es_check_every != 1)
+    )
     if backend == "auto":
-        if qc is not None and _pallas_eligible(
-            method, early_stop, msg_qbits, weights, output, auto=True
+        if qc is not None and (
+            needs_pallas
+            and _pallas_eligible(method, early_stop, msg_qbits, weights,
+                                 output)
+            or _pallas_eligible(method, early_stop, msg_qbits, weights,
+                                output, auto=True)
         ):
             backend = "pallas"
         elif qc is not None:

@@ -43,10 +43,13 @@ class LinkConfig:
     bp_iterations: int = 3
     bp_method: str = "sum-product-ref"
     bp_schedule: str = "flooding"  # 'layered' = serial-C (QC codes only)
+    bp_layered_group: int = 1  # rows per serial group (pallas layered)
     clamp: float | None = 20.0
     alpha: float = 1.0
     beta: float = 0.0
     early_stop: bool = False
+    es_mode: str = "freeze"  # 'requeue' = probe+pack stragglers (pallas)
+    es_check_every: int = 1  # syndrome-check stride (pallas)
     msg_qbits: int | None = None
     msg_qclip: float = 20.0
     # quantized-ADC path (None = ideal ADC)
@@ -205,6 +208,9 @@ def link_step(
         beta=cfg.beta,
         clamp=cfg.clamp,
         early_stop=cfg.early_stop,
+        es_mode=cfg.es_mode,
+        es_check_every=cfg.es_check_every,
+        layered_group=cfg.bp_layered_group,
         msg_qbits=cfg.msg_qbits,
         msg_qclip=cfg.msg_qclip,
         weights=weights,
