@@ -104,6 +104,13 @@ def _snr_grid(args, code) -> tuple[float, ...]:
     return grid
 
 
+def _parse_ab(spec: str) -> float | tuple[float, ...]:
+    """'0.8' → 0.8; '0.8,0.9,1.0' → per-iteration tuple (a frozen
+    weighted-min-sum schedule, see ``bp.freeze_minsum_weights``)."""
+    parts = [float(x) for x in str(spec).split(",") if x != ""]
+    return parts[0] if len(parts) == 1 else tuple(parts)
+
+
 def _link_cfg_from_args(args, **over) -> LinkConfig:
     fields = dict(
         modulation=args.modulation,
@@ -111,6 +118,8 @@ def _link_cfg_from_args(args, **over) -> LinkConfig:
         bp_iterations=args.iters,
         bp_method=args.method,
         bp_schedule=getattr(args, "schedule", "flooding"),
+        alpha=_parse_ab(getattr(args, "bp_alpha", "1.0")),
+        beta=_parse_ab(getattr(args, "bp_beta", "0.0")),
         clamp=args.clamp if args.clamp > 0 else None,
         qbits=args.qbits if args.qbits > 0 else None,
         clip_ratio=10 ** (args.clipdb / 10.0),
@@ -288,6 +297,36 @@ def cmd_train_joint(args) -> None:
     record_run("train-joint", args.out, code=code.name, ckpt=ckpt,
                snrdb=args.snrdb)
     print(f"checkpoint -> {ckpt}")
+
+
+def cmd_train_minsum(args) -> None:
+    """Train per-iteration (α, β) min-sum weights; print the frozen
+    schedule as ``--bp-alpha``/``--bp-beta`` comma lists."""
+    from ldpc_sims_tpu.training import TrainConfig, train_minsum_weights
+
+    code = get_code(args.code)
+    tc = TrainConfig(learning_rate=args.lr, seed=args.seed,
+                     optimizer=args.optimizer)
+    stamp = time.strftime("%Y%m%d-%H%M%S")
+    ckpt = os.path.join(
+        args.out, "model",
+        f"{stamp}_minsum_{args.code}_it={args.iters}_{args.schedule}",
+    )
+    _, info = train_minsum_weights(
+        code, tc, iterations=args.iters, schedule=args.schedule,
+        snr_db=(args.snr_low, args.snr_high), steps=args.steps,
+        batch=args.batch, clamp=args.clamp if args.clamp > 0 else None,
+        ckpt_dir=ckpt,
+    )
+    from ldpc_sims_tpu.utils.registry import record_run
+
+    record_run("train-minsum", args.out, code=code.name, ckpt=ckpt,
+               alpha=info["alpha"], beta=info["beta"])
+    alpha = ",".join(f"{x:.4f}" for x in info["alpha"])
+    beta = ",".join(f"{x:.4f}" for x in info["beta"])
+    print(f"checkpoint -> {ckpt}")
+    print(f"--bp-alpha {alpha}")
+    print(f"--bp-beta {beta}")
 
 
 def cmd_train_grid(args) -> None:
@@ -521,6 +560,11 @@ def _add_common(sp: argparse.ArgumentParser) -> None:
     sp.add_argument("--iters", type=int, default=3)
     sp.add_argument("--method", default="sum-product-ref",
                     choices=["min-sum", "sum-product", "sum-product-ref"])
+    sp.add_argument("--bp-alpha", default="1.0",
+                    help="min-sum normalization; a comma list is a "
+                         "per-iteration schedule (train-minsum output)")
+    sp.add_argument("--bp-beta", default="0.0",
+                    help="min-sum offset; comma list = per-iteration")
     sp.add_argument("--schedule", default="flooding",
                     choices=["flooding", "layered"],
                     help="layered = serial-C scheduling (QC codes only; "
@@ -619,6 +663,21 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--family", default="",
                     help="family id (reuse to resume an interrupted grid)")
     sp.set_defaults(fn=cmd_train_grid)
+
+    sp = sub.add_parser(
+        "train-minsum",
+        help="train per-iteration normalized/offset min-sum weights "
+             "(frozen schedule runs on the Pallas fast path)",
+    )
+    _add_common(sp)
+    sp.add_argument("--snr-low", type=float, default=1.0)
+    sp.add_argument("--snr-high", type=float, default=3.0)
+    sp.add_argument("--steps", type=int, default=200)
+    sp.add_argument("--batch", type=int, default=512)
+    sp.add_argument("--lr", type=float, default=0.02)
+    sp.add_argument("--optimizer", default="adam",
+                    choices=["sgd", "adam"])
+    sp.set_defaults(fn=cmd_train_minsum)
 
     sp = sub.add_parser(
         "evaluate-grid",

@@ -99,6 +99,7 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                   early_stop: bool = False,
                   es_check_every: int = 1,
                   with_done_in: bool = False,
+                  with_ab: bool = False,
                   msg_qbits: int | None = None,
                   msg_qclip: float = 20.0,
                   schedule: str = "flooding",
@@ -137,6 +138,12 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
     def kernel(llr_ref, *rest):
         if with_done_in:
             done_ref, *rest = rest
+        if with_ab:
+            # (iterations, 2) SMEM table of per-iteration (α, β) — the
+            # frozen weighted-min-sum schedule (bp.freeze_minsum_weights);
+            # read per iteration as two scalars, so the weighted decode
+            # costs two extra VPU broadcasts per iteration
+            ab_ref, *rest = rest
         if early_stop:
             out_ref, iters_ref, msg_ref, post_ref = rest
         else:
@@ -188,11 +195,13 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                 unsat = unsat + jnp.sum(par & 1, axis=0, keepdims=True)
             return unsat
 
-        def check_excl(v, axis):
+        def check_excl(v, axis, it=0):
             """Exclusive check update along ``axis`` (f32 in/out).
 
             Applies the min-sum two-minima trick or the stable log-domain
-            sum-product, then clamp + message quantization.
+            sum-product, then clamp + message quantization. ``it`` picks
+            the iteration's (α, β) row from the SMEM table when the
+            weighted schedule is on (``with_ab``).
             """
             a = jnp.abs(v)
             neg = (v < 0).astype(jnp.int32)
@@ -211,10 +220,19 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                 min2 = jnp.min(jnp.where(onehot, _BIG, a), axis=axis,
                                keepdims=True)
                 exmin = jnp.where(onehot, min2, min1)
-                mag = jnp.maximum(exmin - beta, 0.0) if beta else exmin
-                out = exsign * mag
-                if alpha != 1.0:
-                    out = out * alpha
+                if with_ab:
+                    out = (
+                        exsign
+                        * jnp.maximum(exmin - ab_ref[it, 1], 0.0)
+                        * ab_ref[it, 0]
+                    )
+                else:
+                    mag = (
+                        jnp.maximum(exmin - beta, 0.0) if beta else exmin
+                    )
+                    out = exsign * mag
+                    if alpha != 1.0:
+                        out = out * alpha
             else:  # stable log-domain sum-product (ops/bp.py semantics:
                 # expm1-based pole handling; naive 1−1e-12 guards are f32
                 # no-ops and NaN-cascade on TPU)
@@ -236,7 +254,7 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                 out = jnp.clip(q, -msg_qclip, msg_qclip)
             return out
 
-        def update(done):
+        def update(done, it=0):
             """One flooding iteration; done≠0 lanes keep their messages."""
             keep = None if done is None else (done > 0)
             # -- variable update, in place (reads post_ref) ------------
@@ -249,13 +267,13 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                         new = jnp.where(keep, msg_ref[i, k], new)
                     msg_ref[i, k] = new
             # -- check update: all checks at once ----------------------
-            out = check_excl(ld(msg_ref[...]), 1).astype(dtype)
+            out = check_excl(ld(msg_ref[...]), 1, it).astype(dtype)
             if keep is not None:
                 out = jnp.where(keep[None, None], msg_ref[...], out)
             msg_ref[...] = out
             stamp_pads()
 
-        def layered_sweep(done):
+        def layered_sweep(done, it=0):
             """One group-serial sweep (serial-C generalized over row
             groups): groups of ``layered_group`` consecutive check
             block-rows update together flooding-style from the *current*
@@ -291,7 +309,7 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                 xs = jnp.stack(planes).reshape(
                     len(rows), dc_max, *planes[0].shape
                 )
-                y = check_excl(xs, 1)
+                y = check_excl(xs, 1, it)
                 for gi, (i, slots) in enumerate(rows):
                     for (k, j, s) in slots:
                         old = ld(msg_ref[i, k])
@@ -303,11 +321,11 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                         ).astype(dtype)
                         msg_ref[i, k] = new.astype(dtype)
 
-        def bp_iter(done):
+        def bp_iter(done, it=0):
             if schedule == "layered":
-                layered_sweep(done)  # maintains post_ref incrementally
+                layered_sweep(done, it)  # maintains post_ref incrementally
             else:
-                update(done)
+                update(done, it)
                 write_posterior()
 
         def run():
@@ -343,8 +361,8 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
 
                 def body(carry):
                     r, done, iters = carry
-                    for _ in range(K):
-                        bp_iter(done)
+                    for kk in range(K):
+                        bp_iter(done, r * K + kk)
                     newly = jnp.logical_and(
                         syndrome_unsat() == 0, done == 0
                     )
@@ -357,8 +375,8 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                 )
                 iters_ref[...] = iters
             else:
-                def one_iteration(_, carry):
-                    bp_iter(None)
+                def one_iteration(i, carry):
+                    bp_iter(None, i)
                     return carry
 
                 jax.lax.fori_loop(0, iterations, one_iteration, 0)
@@ -423,10 +441,27 @@ def bp_qc_pallas(
     vectorized check update) or 'layered' (serial-C sweep over the mb
     block rows — ~2x fewer iterations at the same BER; one "iteration"
     = one full sweep). ``dtype``: message storage dtype (float32 or
-    bfloat16 — bf16 halves VMEM residency).
+    bfloat16 — bf16 halves VMEM residency). ``alpha``/``beta`` may be
+    length-``iterations`` tuples — a frozen weighted-min-sum schedule
+    (``bp.freeze_minsum_weights``), applied per iteration from an SMEM
+    table at ~zero throughput cost.
     """
     if method not in ("min-sum", "sum-product"):
         raise ValueError(f"unsupported kernel method {method!r}")
+    with_ab = isinstance(alpha, tuple) or isinstance(beta, tuple)
+    if with_ab:
+        if method != "min-sum":
+            raise ValueError("per-iteration alpha/beta require min-sum")
+        a_t = alpha if isinstance(alpha, tuple) else (alpha,) * iterations
+        b_t = beta if isinstance(beta, tuple) else (beta,) * iterations
+        if len(a_t) != iterations or len(b_t) != iterations:
+            raise ValueError(
+                "per-iteration alpha/beta must have length == iterations"
+            )
+        ab_tab = np.stack(
+            [np.asarray(a_t, np.float32), np.asarray(b_t, np.float32)],
+            axis=1,
+        )  # (iterations, 2)
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"unknown schedule {schedule!r}")
     if output == "hard_iters" and not early_stop:
@@ -451,7 +486,7 @@ def bp_qc_pallas(
     kernel, (mb, dc_max, nb, z) = _build_kernel(
         qc, iterations, alpha, beta, method, clamp,
         early_stop=early_stop, es_check_every=es_check_every,
-        with_done_in=done_in is not None,
+        with_done_in=done_in is not None, with_ab=with_ab,
         msg_qbits=msg_qbits, msg_qclip=msg_qclip,
         schedule=schedule, layered_group=layered_group, dtype=dtype,
     )
@@ -487,6 +522,12 @@ def bp_qc_pallas(
                          memory_space=pltpu.VMEM)
         )
         operands.append(done_in.reshape(1, B).astype(jnp.int32))
+    if with_ab:
+        in_specs.append(
+            pl.BlockSpec((iterations, 2), lambda b: (0, 0),
+                         memory_space=pltpu.SMEM)
+        )
+        operands.append(jnp.asarray(ab_tab))
     out_shape = [jax.ShapeDtypeStruct((nb, z, B), dtype)]
     out_specs = [
         pl.BlockSpec((nb, z, tile), lambda b: (0, 0, b),
@@ -579,9 +620,12 @@ def bp_qc_requeue(
     if output not in ("hard", "hard_iters"):
         raise ValueError("bp_qc_requeue outputs hard bits only")
     B = llr.shape[0]
+    # a frozen per-iteration schedule: the probe pass runs its prefix
+    a_probe = alpha[:probe_iters] if isinstance(alpha, tuple) else alpha
+    b_probe = beta[:probe_iters] if isinstance(beta, tuple) else beta
     bits1, iters1 = bp_qc_pallas(
-        llr, qc, iterations=probe_iters, method=method, alpha=alpha,
-        beta=beta, clamp=clamp, early_stop=True,
+        llr, qc, iterations=probe_iters, method=method, alpha=a_probe,
+        beta=b_probe, clamp=clamp, early_stop=True,
         es_check_every=es_check_every, msg_qbits=msg_qbits,
         msg_qclip=msg_qclip, schedule=schedule,
         layered_group=layered_group, tile=tile,

@@ -3,6 +3,8 @@
 from ldpc_sims_tpu.ops.bp import (  # noqa: F401
     bp_decode,
     decode_to_bits,
+    freeze_minsum_weights,
+    init_minsum_weights,
     init_neural_bp_weights,
     syndrome,
 )

@@ -60,6 +60,8 @@ __all__ = [
     "decode_to_bits",
     "syndrome",
     "init_neural_bp_weights",
+    "init_minsum_weights",
+    "freeze_minsum_weights",
 ]
 
 _BIG = 1e30  # inert magnitude for padding slots
@@ -129,12 +131,18 @@ def _exclusive_sign(v2c: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
     return 1.0 - 2.0 * (ex % 2.0)
 
 
-def _check_update_minsum(
-    v2c: jnp.ndarray, alpha: float, beta: float
-) -> jnp.ndarray:
+def _static_eq(v, const: float) -> bool:
+    """True iff ``v`` is a Python scalar equal to ``const`` (traced
+    per-iteration α/β always emit the op)."""
+    return isinstance(v, (int, float)) and float(v) == const
+
+
+def _check_update_minsum(v2c: jnp.ndarray, alpha, beta) -> jnp.ndarray:
     """Two-minima min-sum check update over the dc axis (axis 1).
 
     Padding slots arrive as +_BIG (sign +1, magnitude never the minimum).
+    ``alpha``/``beta`` are Python floats or traced scalars (the
+    weighted-min-sum path, ``init_minsum_weights``).
     """
     a = jnp.abs(v2c)
     min1 = jnp.min(a, axis=1, keepdims=True)
@@ -145,9 +153,9 @@ def _check_update_minsum(
     min2 = jnp.min(jnp.where(onehot, _BIG, a), axis=1, keepdims=True)
     exmin = jnp.where(onehot, min2, min1)
     exsign = _exclusive_sign(v2c, axis=1)
-    mag = jnp.maximum(exmin - beta, 0.0) if beta else exmin
+    mag = exmin if _static_eq(beta, 0.0) else jnp.maximum(exmin - beta, 0.0)
     out = exsign * mag
-    return out * alpha if alpha != 1.0 else out
+    return out if _static_eq(alpha, 1.0) else out * alpha
 
 
 def _check_update_sumproduct(v2c: jnp.ndarray) -> jnp.ndarray:
@@ -243,6 +251,37 @@ def init_neural_bp_weights(
     else:
         raise ValueError(f"unknown flavor {flavor!r}")
     return w
+
+
+def init_minsum_weights(iterations: int, dtype=jnp.float32) -> dict:
+    """Identity weighted-min-sum parameter pytree: per-iteration
+    normalization ``ms_alpha`` (init 1 = plain min-sum) and offset
+    ``ms_beta`` (init 0).
+
+    The cheapest trainable-decoder family (normalized/offset min-sum,
+    Nachmani-style learning restricted to two scalars per iteration):
+    pass as ``weights=`` to :func:`bp_decode` and differentiate through
+    the unrolled decode (roll/dense/gather backends), then
+    :func:`freeze_minsum_weights` the trained schedule into static
+    tuples that run on the Pallas fast path at zero throughput cost
+    (two VPU scalar ops per iteration). Composable with the per-edge
+    neural-BP keys (:func:`init_neural_bp_weights`) in one dict.
+    """
+    return {
+        "ms_alpha": jnp.ones((iterations,), dtype=dtype),
+        "ms_beta": jnp.zeros((iterations,), dtype=dtype),
+    }
+
+
+def freeze_minsum_weights(weights: dict) -> tuple[tuple, tuple]:
+    """Trained ms pytree → static ``(alpha, beta)`` tuples for
+    ``bp_decode(alpha=..., beta=...)`` (Pallas-kernel-compatible)."""
+    import numpy as _np
+
+    return (
+        tuple(float(x) for x in _np.asarray(weights["ms_alpha"])),
+        tuple(float(x) for x in _np.asarray(weights["ms_beta"])),
+    )
 
 
 def _pallas_eligible(
@@ -376,6 +415,41 @@ def bp_decode(
         raise ValueError("early_stop with neural-BP weights is unsupported")
     if es_mode not in ("freeze", "requeue"):
         raise ValueError(f"unknown es_mode {es_mode!r}")
+    # per-iteration weighted min-sum: static tuple alpha/beta (inference,
+    # every backend incl. pallas) or the differentiable ms_alpha/ms_beta
+    # pytree keys (training; roll/dense/gather, unrolled)
+    if isinstance(alpha, list):
+        alpha = tuple(alpha)
+    if isinstance(beta, list):
+        beta = tuple(beta)
+    ms_w = None
+    if weights is not None and (
+        "ms_alpha" in weights or "ms_beta" in weights
+    ):
+        weights = dict(weights)
+        it_ = iterations
+        ms_w = {
+            "alpha": weights.pop("ms_alpha", jnp.ones((it_,))),
+            "beta": weights.pop("ms_beta", jnp.zeros((it_,))),
+        }
+        if not weights:
+            weights = None
+        if isinstance(alpha, tuple) or isinstance(beta, tuple):
+            raise ValueError(
+                "pass tuple alpha/beta OR ms_alpha/ms_beta weights, "
+                "not both"
+            )
+    if (
+        isinstance(alpha, tuple) or isinstance(beta, tuple)
+        or ms_w is not None
+    ) and method != "min-sum":
+        raise ValueError("per-iteration alpha/beta require method='min-sum'")
+    for v, nm in ((alpha, "alpha"), (beta, "beta")):
+        if isinstance(v, tuple) and len(v) != iterations:
+            raise ValueError(
+                f"per-iteration {nm} needs length {iterations}, "
+                f"got {len(v)}"
+            )
     if weights is not None and "w_pair" in weights and backend != "gather":
         if backend != "auto":
             raise ValueError("pair-flavor weights need backend='gather'")
@@ -389,12 +463,15 @@ def bp_decode(
     needs_pallas = layered_group != 1 or (
         early_stop and (es_mode != "freeze" or es_check_every != 1)
     )
+    # traced ms weights can't bake into the (static-arg) pallas kernel;
+    # static tuples can — only the former block pallas selection
+    w_elig = weights if weights is not None else ms_w
     if backend == "auto":
         if qc is not None and (
             needs_pallas
-            and _pallas_eligible(method, early_stop, msg_qbits, weights,
+            and _pallas_eligible(method, early_stop, msg_qbits, w_elig,
                                  output)
-            or _pallas_eligible(method, early_stop, msg_qbits, weights,
+            or _pallas_eligible(method, early_stop, msg_qbits, w_elig,
                                 output, auto=True)
         ):
             backend = "pallas"
@@ -420,11 +497,13 @@ def bp_decode(
     if backend == "pallas":
         if qc is None:
             raise ValueError("pallas backend requires a quasi-cyclic LdpcCode")
-        if not _pallas_eligible(method, early_stop, msg_qbits, weights,
+        if not _pallas_eligible(method, early_stop, msg_qbits, w_elig,
                                 output):
             raise ValueError(
                 "pallas backend supports method in (min-sum, sum-product), "
-                "no weights, output in (hard, hard_iters, posterior, soft)"
+                "no traced weights (freeze_minsum_weights → static tuple "
+                "alpha/beta instead), output in (hard, hard_iters, "
+                "posterior, soft)"
             )
         from ldpc_sims_tpu.kernels.minsum_qc import (
             bp_qc_pallas,
@@ -490,6 +569,7 @@ def bp_decode(
             msg_qbits=msg_qbits,
             msg_qclip=msg_qclip,
             weights=weights,
+            ms_weights=ms_w,
             output=output,
             schedule=schedule,
             dtype=dtype,
@@ -602,9 +682,25 @@ def bp_decode(
                 lv = Lv
             return lv + jnp.sum(jnp.where(v_mask_b, vm, 0.0), axis=1)
 
-    def check_update(v2c: jnp.ndarray) -> jnp.ndarray:
+    # per-iteration α/β views (traced ms pytree or static tuples)
+    ms_a = ms_b = None
+    if ms_w is not None:
+        ms_a = jnp.asarray(ms_w["alpha"], dtype)
+        ms_b = jnp.asarray(ms_w["beta"], dtype)
+    else:
+        if isinstance(alpha, tuple):
+            ms_a = jnp.asarray(alpha, dtype)
+        if isinstance(beta, tuple):
+            ms_b = jnp.asarray(beta, dtype)
+
+    def ab_at(it):
+        a = alpha if ms_a is None else ms_a[it]
+        b = beta if ms_b is None else ms_b[it]
+        return a, b
+
+    def check_update(v2c: jnp.ndarray, it=0) -> jnp.ndarray:
         if method == "min-sum":
-            c2v = _check_update_minsum(v2c, alpha, beta)
+            c2v = _check_update_minsum(v2c, *ab_at(it))
         elif method == "sum-product":
             c2v = _check_update_sumproduct(v2c)
         else:
@@ -616,7 +712,7 @@ def bp_decode(
         return c2v
 
     def one_iteration(it, c2v):
-        return check_update(var_to_check(c2v, it))
+        return check_update(var_to_check(c2v, it), it)
 
     def hard(c2v: jnp.ndarray) -> jnp.ndarray:
         return (posterior(c2v) < 0).astype(jnp.int8)  # (n, B)
@@ -670,9 +766,10 @@ def bp_decode(
             cond, body, (jnp.int32(0), c2v0, done0, iters0)
         )
     else:
-        if weights is not None:
+        if weights is not None or ms_w is not None:
             # static per-iteration weight indices (plain Python loop —
-            # `iterations` is static and small)
+            # `iterations` is static and small; unrolled so reverse-mode
+            # autodiff reaches the per-iteration parameters)
             c2v = c2v0
             for it in range(iterations):
                 c2v = one_iteration(it, c2v)

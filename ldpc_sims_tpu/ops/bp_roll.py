@@ -78,8 +78,19 @@ def _exclusive_sign(x: jnp.ndarray) -> jnp.ndarray:
     return 1.0 - 2.0 * (ex % 2.0)
 
 
-def _minsum_excl(x: jnp.ndarray, alpha: float, beta: float) -> jnp.ndarray:
-    """Exclusive min-sum over axis 0 of (d, z, B) via two-minima."""
+def _static_eq(v, const: float) -> bool:
+    """True iff ``v`` is a Python scalar equal to ``const`` (traced
+    values — per-iteration weighted-min-sum α/β — always return False
+    so the op is emitted)."""
+    return isinstance(v, (int, float)) and float(v) == const
+
+
+def _minsum_excl(x: jnp.ndarray, alpha, beta) -> jnp.ndarray:
+    """Exclusive min-sum over axis 0 of (d, z, B) via two-minima.
+
+    ``alpha``/``beta`` are the normalized/offset min-sum parameters —
+    Python floats (static, folded when 1/0) or traced scalars (the
+    weighted-min-sum training path differentiates through them)."""
     a = jnp.abs(x)
     min1 = jnp.min(a, axis=0, keepdims=True)
     idx = jnp.argmin(a, axis=0)
@@ -89,9 +100,9 @@ def _minsum_excl(x: jnp.ndarray, alpha: float, beta: float) -> jnp.ndarray:
     min2 = jnp.min(jnp.where(onehot, _BIG, a), axis=0, keepdims=True)
     exmin = jnp.where(onehot, min2, min1)
     exsign = _exclusive_sign(x)
-    mag = jnp.maximum(exmin - beta, 0.0) if beta else exmin
+    mag = exmin if _static_eq(beta, 0.0) else jnp.maximum(exmin - beta, 0.0)
     out = exsign * mag
-    return out * alpha if alpha != 1.0 else out
+    return out if _static_eq(alpha, 1.0) else out * alpha
 
 
 def _sumproduct_excl(x: jnp.ndarray) -> jnp.ndarray:
@@ -137,6 +148,7 @@ def decode_roll(
     msg_qbits: int | None = None,
     msg_qclip: float = 20.0,
     weights: dict[str, Any] | None = None,
+    ms_weights: dict[str, Any] | None = None,
     output: str = "hard",
     schedule: str = "flooding",
     dtype=jnp.float32,
@@ -150,6 +162,13 @@ def decode_roll(
     *current* posterior — converges in roughly half the iterations of
     flooding for the same BER (standard LDPC result; the reference only
     has flooding). QC structure makes each layer a static set of rolls.
+
+    ``alpha``/``beta`` may be length-``iterations`` tuples (a static
+    per-iteration normalization/offset schedule). ``ms_weights`` is the
+    *differentiable* form: ``{'alpha': (iterations,), 'beta':
+    (iterations,)}`` traced arrays (see ``bp.init_minsum_weights``) —
+    the weighted-min-sum training path, gradients flow through the
+    unrolled decode. Mutually exclusive with tuple alpha/beta.
     """
     z, nb, mb = qc.z, qc.nb, qc.mb
     planes, group_c, group_v = qc_plan(qc)
@@ -162,6 +181,39 @@ def decode_roll(
 
     if weights is not None:
         weights = jax.tree.map(lambda x: jnp.asarray(x, dtype), weights)
+
+    # per-iteration α/β: traced arrays (ms_weights) or static tuples.
+    # ms_unroll=True forces a Python-unrolled iteration loop so autodiff
+    # sees per-iteration parameters (mirrors the neural-BP weights path).
+    ms_a = ms_b = None
+    ms_unroll = False
+    if ms_weights is not None:
+        if isinstance(alpha, (tuple, list)) or isinstance(beta, (tuple, list)):
+            raise ValueError("pass tuple alpha/beta OR ms_weights, not both")
+        if method != "min-sum":
+            raise ValueError("ms_weights require method='min-sum'")
+        ms_a = jnp.asarray(ms_weights["alpha"], dtype)
+        ms_b = jnp.asarray(ms_weights["beta"], dtype)
+        ms_unroll = True
+    else:
+        if isinstance(alpha, (tuple, list)):
+            ms_a = jnp.asarray(alpha, dtype)
+        if isinstance(beta, (tuple, list)):
+            ms_b = jnp.asarray(beta, dtype)
+        if (ms_a is not None or ms_b is not None) and method != "min-sum":
+            raise ValueError("per-iteration alpha/beta require min-sum")
+    for arr, name in ((ms_a, "alpha"), (ms_b, "beta")):
+        if arr is not None and arr.shape != (iterations,):
+            raise ValueError(
+                f"per-iteration {name} must have shape ({iterations},), "
+                f"got {arr.shape}"
+            )
+
+    def ab_at(it):
+        """(α, β) for iteration ``it`` (static int or traced index)."""
+        a = alpha if ms_a is None else ms_a[it]
+        b = beta if ms_b is None else ms_b[it]
+        return a, b
 
     def wslice(w_msg, w_llr):
         """Split flat weight arrays into per-plane / per-block views.
@@ -177,10 +229,11 @@ def decode_roll(
                 per_plane[p] = wm[j, :, k][:, None]  # (z, 1), var orient
         return per_plane, wl
 
-    def excl_update(x: jnp.ndarray) -> jnp.ndarray:
+    def excl_update(x: jnp.ndarray, it=0) -> jnp.ndarray:
         """Exclusive check update over axis 0 + clamp/quantize postlude."""
         if method == "min-sum":
-            y = _minsum_excl(x, alpha, beta)
+            a, b = ab_at(it)
+            y = _minsum_excl(x, a, b)
         elif method == "sum-product":
             y = _sumproduct_excl(x)
         else:
@@ -192,11 +245,11 @@ def decode_roll(
             y = jnp.clip(jnp.round(y / step) * step, -msg_qclip, msg_qclip)
         return y
 
-    def check_update(v2c_planes: list) -> list:
+    def check_update(v2c_planes: list, it=0) -> list:
         out: list = [None] * P
         for i in range(mb):
             ps = group_c[i]
-            y = excl_update(jnp.stack([v2c_planes[p] for p in ps]))
+            y = excl_update(jnp.stack([v2c_planes[p] for p in ps]), it)
             for k, p in enumerate(ps):
                 out[p] = y[k]
         return out
@@ -258,8 +311,8 @@ def decode_roll(
 
     zero = [jnp.zeros((z, B), dtype) for _ in range(P)]
 
-    def one_iter(c2v_planes: list, w_it=None) -> list:
-        return check_update(var_update(c2v_planes, w_it))
+    def one_iter(c2v_planes: list, w_it=None, it=0) -> list:
+        return check_update(var_update(c2v_planes, w_it), it)
 
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"unknown schedule {schedule!r}")
@@ -272,6 +325,7 @@ def decode_roll(
         post, iters_run = _decode_layered(
             Lv, planes, group_c, excl_update, mb, nb, z, B,
             iterations=iterations, early_stop=early_stop, dtype=dtype,
+            unroll=ms_unroll,
         )
         return _emit(post, iters_run, output, n, B)
 
@@ -300,7 +354,7 @@ def decode_roll(
 
         def body(state):
             it, c2v, done, iters = state
-            new = one_iter(c2v)  # weights unsupported with early_stop
+            new = one_iter(c2v, it=it)  # edge weights unsupported w/ es
             dmask = done[None, :]
             c2v = [jnp.where(dmask, o, n) for o, n in zip(c2v, new)]
             newly = jnp.logical_and(
@@ -312,14 +366,16 @@ def decode_roll(
         _, c2v, _, iters_run = jax.lax.while_loop(
             cond, body, (jnp.int32(0), zero, done0, iters0)
         )
-    elif weights is not None:
+    elif weights is not None or ms_unroll:
         c2v = zero
         for it in range(iterations):  # per-iteration weights are static
-            c2v = one_iter(c2v, w_planes[it])
+            c2v = one_iter(
+                c2v, w_planes[it] if weights is not None else None, it
+            )
         iters_run = jnp.full((B,), iterations, jnp.int32)
     else:
         c2v = jax.lax.fori_loop(
-            0, iterations, lambda i, x: one_iter(x), zero
+            0, iterations, lambda i, x: one_iter(x, it=i), zero
         )
         iters_run = jnp.full((B,), iterations, jnp.int32)
 
@@ -355,6 +411,7 @@ def _decode_layered(
     iterations: int,
     early_stop: bool,
     dtype,
+    unroll: bool = False,
 ):
     """Serial-C (row-layered) BP over the QC block rows.
 
@@ -364,11 +421,13 @@ def _decode_layered(
     (``v2c = roll(L_j, −s) − c2v_p``), applies the exclusive check
     update, and folds the message delta back into the posterior — so
     later layers inside the same sweep already see the improvement.
-    One "iteration" = one sweep over all ``mb`` layers.
+    One "iteration" = one sweep over all ``mb`` layers. ``unroll``
+    replaces the fori_loop with a Python loop so reverse-mode autodiff
+    works (the weighted-min-sum training path).
     """
     P = len(planes)
 
-    def sweep(state):
+    def sweep(state, it=0):
         L, c2v = list(state[0]), list(state[1])
         for i in range(mb):
             ps = group_c[i]
@@ -376,7 +435,7 @@ def _decode_layered(
                 jnp.roll(L[planes[p][1]], -planes[p][2], axis=0) - c2v[p]
                 for p in ps
             ]
-            y = excl_update(jnp.stack(xs))
+            y = excl_update(jnp.stack(xs), it)
             for k, p in enumerate(ps):
                 _, j, s = planes[p]
                 L[j] = L[j] + jnp.roll(y[k] - c2v[p], s, axis=0)
@@ -411,7 +470,7 @@ def _decode_layered(
         def body(state):
             it, L, c2v, done, iters = state
             # per-codeword freeze (same semantics as the flooding path)
-            Ln, c2vn = sweep((L, c2v))
+            Ln, c2vn = sweep((L, c2v), it)
             dmask = done[None, :]
             L = tuple(jnp.where(dmask, o, n) for o, n in zip(L, Ln))
             c2v = tuple(
@@ -426,9 +485,15 @@ def _decode_layered(
         _, L, _, _, iters_run = jax.lax.while_loop(
             cond, body, (jnp.int32(0), L0, c2v0, done0, iters0)
         )
+    elif unroll:
+        st = (L0, c2v0)
+        for it in range(iterations):
+            st = sweep(st, it)
+        L = st[0]
+        iters_run = jnp.full((B,), iterations, jnp.int32)
     else:
         L, _ = jax.lax.fori_loop(
-            0, iterations, lambda i, st: sweep(st), (L0, c2v0)
+            0, iterations, lambda i, st: sweep(st, i), (L0, c2v0)
         )
         iters_run = jnp.full((B,), iterations, jnp.int32)
     return jnp.stack(L), iters_run

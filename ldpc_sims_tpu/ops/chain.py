@@ -45,8 +45,10 @@ class LinkConfig:
     bp_schedule: str = "flooding"  # 'layered' = serial-C (QC codes only)
     bp_layered_group: int = 1  # rows per serial group (pallas layered)
     clamp: float | None = 20.0
-    alpha: float = 1.0
-    beta: float = 0.0
+    # scalar, or a per-iteration tuple (a frozen weighted-min-sum
+    # schedule from training.train_minsum_weights)
+    alpha: float | tuple[float, ...] = 1.0
+    beta: float | tuple[float, ...] = 0.0
     early_stop: bool = False
     es_mode: str = "freeze"  # 'requeue' = probe+pack stragglers (pallas)
     es_check_every: int = 1  # syndrome-check stride (pallas)

@@ -8,5 +8,6 @@ from ldpc_sims_tpu.training.trainer import (  # noqa: F401
     TrainConfig,
     train_joint,
     train_llr,
+    train_minsum_weights,
     train_neural_bp,
 )

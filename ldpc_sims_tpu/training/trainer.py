@@ -38,7 +38,13 @@ import optax
 from ldpc_sims_tpu.ops.phy import weighted_mse
 from ldpc_sims_tpu.utils.checkpoint import save_checkpoint
 
-__all__ = ["TrainConfig", "train_llr", "train_joint", "train_neural_bp"]
+__all__ = [
+    "TrainConfig",
+    "train_llr",
+    "train_joint",
+    "train_neural_bp",
+    "train_minsum_weights",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -397,3 +403,92 @@ def train_neural_bp(
     if ckpt_dir:
         save_checkpoint(ckpt_dir, weights, {"loss": losses})
     return weights, {"loss": losses}
+
+
+def train_minsum_weights(
+    code,
+    cfg: TrainConfig,
+    iterations: int = 10,
+    schedule: str = "layered",
+    snr_db: tuple[float, float] = (1.0, 3.0),
+    steps: int = 200,
+    batch: int = 512,
+    clamp: float | None = None,
+    init_weights: Any | None = None,
+    ckpt_dir: str | None = None,
+    log: Callable[[str], None] | None = print,
+):
+    """Train a per-iteration normalized/offset min-sum schedule (α_t, β_t).
+
+    The cheapest member of the learned-decoder family (the reference's
+    trainable-BP idea, ``bp/bp_vc.py:101-107``, collapsed to two scalars
+    per iteration à la normalized/offset min-sum): 2·``iterations``
+    parameters, trained by BCE through the unrolled roll-backend decode,
+    then frozen with :func:`ldpc_sims_tpu.ops.bp.freeze_minsum_weights`
+    into static tuples the Pallas kernel applies from an SMEM table —
+    learned decoding at the full fast-path throughput.
+
+    Training data is generated on device per step: all-zero-codeword
+    BPSK over AWGN at per-codeword uniform SNR in ``snr_db`` (min-sum
+    with α, β ≥ 0 is symmetric under codeword sign flips, so the
+    all-zero codeword gives unbiased BER — the standard neural-BP
+    training setup, cf. Nachmani et al. 2016). No host data ever moves.
+
+    Returns ``(weights, info)`` with ``info['loss']`` the per-step BCE
+    trace and ``info['alpha']``/``info['beta']`` the trained schedule as
+    lists (JSON-ready).
+    """
+    from ldpc_sims_tpu.ops.bp import bp_decode, init_minsum_weights
+
+    weights = init_weights or init_minsum_weights(iterations)
+    opt = cfg.make_optimizer()
+    opt_state = opt.init(weights)
+    lo, hi = float(snr_db[0]), float(snr_db[1])
+
+    @jax.jit
+    def step(weights, opt_state, key):
+        ks, kn = jax.random.split(key)
+        snr = 10.0 ** (
+            jax.random.uniform(ks, (batch, 1), minval=lo, maxval=hi) / 10.0
+        )
+        sigma = jax.lax.rsqrt(snr)
+        r = 1.0 + sigma * jax.random.normal(kn, (batch, code.n))
+        llr = -2.0 * r / (sigma * sigma)
+
+        def loss_fn(w):
+            p1 = bp_decode(
+                llr, code, iterations=iterations, method="min-sum",
+                clamp=clamp, weights=w, output="soft",
+                backend="roll", schedule=schedule,
+            )
+            # BCE against the (all-zero) transmitted bits
+            return -jnp.mean(jnp.log(1.0 - p1 + 1e-7))
+
+        loss, grads = jax.value_and_grad(loss_fn)(weights)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(weights, updates), opt_state, loss
+
+    key = jax.random.key(cfg.seed)
+    losses = []
+    t0 = time.time()
+    for i in range(steps):
+        weights, opt_state, loss = step(
+            weights, opt_state, jax.random.fold_in(key, i)
+        )
+        losses.append(float(loss))
+        if log and (i % max(steps // 10, 1) == 0 or i == steps - 1):
+            log(
+                f"[step {i + 1}/{steps}] minsum-weight BCE {losses[-1]:.5f}"
+                f" ({time.time() - t0:.0f}s)"
+            )
+    info = {
+        "loss": losses,
+        "alpha": [float(x) for x in np.asarray(weights["ms_alpha"])],
+        "beta": [float(x) for x in np.asarray(weights["ms_beta"])],
+        "iterations": iterations,
+        "schedule": schedule,
+        "snr_db": [lo, hi],
+    }
+    if ckpt_dir:
+        save_checkpoint(ckpt_dir, weights, info)
+    return weights, info
