@@ -58,6 +58,25 @@ __all__ = [
 
 _BIG = 1e30
 
+
+def _log1mexp(a: jnp.ndarray) -> jnp.ndarray:
+    """``log(1 − exp(−a))`` for ``a > 0`` without ``expm1`` (no Mosaic
+    TPU lowering for it). For a > 0.2 the direct form has no
+    cancellation; below, ``−expm1(−a)`` is a 6-term Horner series
+    (truncation < 2e-8 relative at the 0.2 switch point). The 1e-30
+    floors only guard the untaken branch against log(0) → NaN in the
+    ``where`` (both lanes are always evaluated on the VPU)."""
+    em_direct = jnp.maximum(1.0 - jnp.exp(-a), 1e-30)
+    em_series = a * (
+        1.0 - a / 2 * (
+            1.0 - a / 3 * (
+                1.0 - a / 4 * (1.0 - a / 5 * (1.0 - a / 6))
+            )
+        )
+    )
+    em = jnp.where(a > 0.2, em_direct, jnp.maximum(em_series, 1e-30))
+    return jnp.log(em)
+
 # Lane-tile dispatch table, derived from measured sweeps on a v5e chip
 # (kernels/tune.py → docs/artifacts/*_kernel_tune.jsonl). Key: (z·nb
 # rounded to the nearest code size, dtype name, schedule); value: lanes
@@ -233,18 +252,19 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                     out = exsign * mag
                     if alpha != 1.0:
                         out = out * alpha
-            else:  # stable log-domain sum-product (ops/bp.py semantics:
-                # expm1-based pole handling; naive 1−1e-12 guards are f32
-                # no-ops and NaN-cascade on TPU)
+            else:  # stable log-domain sum-product (ops/bp.py semantics;
+                # naive 1−1e-12 guards are f32 no-ops and NaN-cascade on
+                # TPU). Mosaic has no expm1 lowering (observed on v5e:
+                # "Unimplemented primitive ... expm1"), so the pole
+                # handling uses _log1mexp — a series/direct switch that
+                # matches the expm1 form to ~1e-7 relative.
                 ac = jnp.minimum(jnp.maximum(a, 1e-12), 80.0)
-                lt = (
-                    jnp.log(-jnp.expm1(-ac)) - jnp.log1p(jnp.exp(-ac))
-                )
+                lt = _log1mexp(ac) - jnp.log(1.0 + jnp.exp(-ac))
                 s = jnp.minimum(
                     jnp.sum(lt, axis=axis, keepdims=True) - lt, -1e-12
                 )
                 out = exsign * (
-                    jnp.log1p(jnp.exp(s)) - jnp.log(-jnp.expm1(s))
+                    jnp.log(1.0 + jnp.exp(s)) - _log1mexp(-s)
                 )
             if clamp is not None:
                 out = jnp.clip(out, -clamp, clamp)

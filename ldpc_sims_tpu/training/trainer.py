@@ -456,10 +456,13 @@ def train_minsum_weights(
         llr = -2.0 * r / (sigma * sigma)
 
         def loss_fn(w):
+            # auto backend: roll for QC codes, dense/gather otherwise
+            # (all support the differentiable ms pytree; layered
+            # schedules are QC-only and bp_decode validates that)
             p1 = bp_decode(
                 llr, code, iterations=iterations, method="min-sum",
                 clamp=clamp, weights=w, output="soft",
-                backend="roll", schedule=schedule,
+                schedule=schedule,
             )
             # BCE against the (all-zero) transmitted bits
             return -jnp.mean(jnp.log(1.0 - p1 + 1e-7))

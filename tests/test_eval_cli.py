@@ -235,3 +235,25 @@ def test_evaluate_sweep_flipped_wmse():
     assert np.isfinite(curves["wmse_nn_flipped"][0])
     # flipped positions are the hard ones: conditional WMSE ≥ overall
     assert curves["wmse_nn_flipped"][0] >= curves["wmse_nn"][0]
+
+
+def test_cli_train_minsum_and_use_schedule(tmp_path):
+    """train-minsum on the small dense code (backend auto → dense,
+    unrolled flooding), then feed the printed schedule back through
+    --bp-alpha/--bp-beta on a sweep."""
+    out = str(tmp_path)
+    main([
+        "train-minsum", "--code", "ref6432", "--iters", "2",
+        "--steps", "3", "--batch", "32", "--snr-low", "2",
+        "--snr-high", "4", "--out", out,
+    ])
+    model_dir = os.path.join(out, "model")
+    names = [d for d in os.listdir(model_dir) if "minsum" in d]
+    assert names
+    main([
+        "sweep", "--code", "ref6432", "--method", "min-sum",
+        "--iters", "2", "--bp-alpha", "0.9,0.8", "--bp-beta", "0.0,0.1",
+        "--clamp", "0", "--snr", "4", "--batch", "256",
+        "--target-errors", "5", "--max-bits", "30000", "--out", out,
+    ])
+    assert any(f.endswith("_curves.json") for f in os.listdir(out))
