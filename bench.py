@@ -96,7 +96,7 @@ def main() -> None:
         f"({'cold start absorbed' if warmup > 30 else 'already warm'})"
     )
 
-    def make_step(schedule: str, iters: int):
+    def make_step(schedule: str, iters: int, alpha=1.0, beta=0.0):
         @jax.jit
         def decode_step(key):
             # fresh LLRs on-device per step: defeats any execute-request
@@ -107,7 +107,8 @@ def main() -> None:
             )
             bits = bp_decode(
                 llr, code, iterations=iters, method="min-sum",
-                schedule=schedule, output="hard", dtype=dtype,
+                schedule=schedule, alpha=alpha, beta=beta,
+                output="hard", dtype=dtype,
             )
             return jnp.sum(bits.astype(jnp.int32))
 
@@ -148,12 +149,13 @@ def main() -> None:
 
     # layered at the matched-BER sweep count, with an in-run parity guard
     rate_lay, parity_ok = 0.0, False
+    trained_cands: list[tuple[float, str]] = []
     try:
         layered = make_step("layered", ITERS_LAYERED)
         rate_lay = timed_rate(layered, f"layered-{ITERS_LAYERED}",
                               ITERS_LAYERED)
 
-        def ber_step(schedule: str, iters: int):
+        def ber_step(schedule: str, iters: int, alpha=1.0, beta=0.0):
             @jax.jit
             def f(key):
                 # codeword-consistent LLRs: all-zero codeword + AWGN at
@@ -166,7 +168,8 @@ def main() -> None:
                 llr = -2.0 * r / (sigma * sigma)
                 bits = bp_decode(
                     llr, code, iterations=iters, method="min-sum",
-                    schedule=schedule, output="hard", dtype=dtype,
+                    schedule=schedule, alpha=alpha, beta=beta,
+                    output="hard", dtype=dtype,
                 )
                 return jnp.sum(bits.astype(jnp.int32))
 
@@ -187,18 +190,57 @@ def main() -> None:
             f"({errs_f:.0f} errs) vs layered-{ITERS_LAYERED} {ber_l:.3e} "
             f"({errs_l:.0f} errs) -> parity {'OK' if parity_ok else 'FAIL'}"
         )
+        # trained weighted-min-sum schedules (committed registry,
+        # examples/train_minsum_short.py): a trained layered-K that
+        # holds flooding-20 BER parity *in this run* becomes a headline
+        # candidate at ~(ITERS_LAYERED/K)× the layered rate. The stored
+        # parity_ok flag only pre-filters; the paired guard here decides.
+        reg_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "docs", "artifacts", "minsum_trained_schedules.json",
+        )
+        if os.path.exists(reg_path) and not os.environ.get(
+            "BENCH_SKIP_TRAINED"
+        ):
+            sched = json.load(open(reg_path)).get(
+                "wifi1944", {}
+            ).get("layered", {})
+            for kstr in sorted(sched, key=int):
+                ent = sched[kstr]
+                if not ent.get("parity_ok"):
+                    continue
+                K = int(kstr)
+                al = tuple(float(x) for x in ent["alpha"])
+                be = tuple(float(x) for x in ent["beta"])
+                r_t = timed_rate(
+                    make_step("layered", K, al, be),
+                    f"trained-layered-{K}", K,
+                )
+                errs_t = float(ber_step("layered", K, al, be)(kb))
+                ok = errs_t <= errs_f * 1.15 + 50.0
+                art[f"ber_trained_layered{K}"] = errs_t / nbits
+                log(
+                    f"trained layered-{K}: BER {errs_t / nbits:.3e} vs "
+                    f"flooding-20 {ber_f:.3e} -> parity "
+                    f"{'OK' if ok else 'FAIL'}"
+                )
+                if ok:
+                    trained_cands.append((r_t, (
+                        "decoded info bits/s/chip, (1944,972) min-sum @ "
+                        f"flooding-20 BER (trained layered-{K})"
+                    )))
     except Exception as e:  # pragma: no cover - guard must not kill bench
         log(f"layered benchmark skipped: {e}")
 
-    if parity_ok and rate_lay > rate_flood:
-        rate, metric = rate_lay, (
+    candidates = [(rate_flood,
+                   "decoded info bits/s/chip, (1944,972) 20-iter min-sum")]
+    if parity_ok:
+        candidates.append((rate_lay, (
             "decoded info bits/s/chip, (1944,972) min-sum @ flooding-20 "
             f"BER (layered-{ITERS_LAYERED})"
-        )
-    else:
-        rate, metric = rate_flood, (
-            "decoded info bits/s/chip, (1944,972) 20-iter min-sum"
-        )
+        )))
+    candidates += trained_cands
+    rate, metric = max(candidates, key=lambda c: c[0])
     art["headline"] = {"metric": metric, "bits_per_s": rate}
 
     # emit the metric line FIRST — extras below must not jeopardize it

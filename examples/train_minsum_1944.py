@@ -30,8 +30,8 @@ from ldpc_sims_tpu.ops.bp import bp_decode, freeze_minsum_weights
 from ldpc_sims_tpu.training import TrainConfig, train_minsum_weights
 from ldpc_sims_tpu.utils import enable_compilation_cache
 
-ITERS = 10
-SCHEDULE = "layered"
+ITERS = int(os.environ.get("MS_ITERS", 10))
+SCHEDULE = os.environ.get("MS_SCHEDULE", "layered")
 TRAIN_SNR = (1.25, 2.5)  # Es/N0 dB, waterfall region
 EVAL_SNRS = (1.5, 1.75, 2.0)
 BITS_PER_POINT = float(os.environ.get("MS_BITS_PER_POINT", 1e9))
@@ -156,7 +156,8 @@ def main():
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "docs", "artifacts", f"{stamp}_minsum_trained.json",
+        "docs", "artifacts",
+        f"{stamp}_minsum_trained_{SCHEDULE}{ITERS}.json",
     )
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
