@@ -418,3 +418,19 @@ def test_layered_group_validation():
     with pytest.raises(ValueError, match="pallas-only"):
         bp_decode(jnp.zeros((128, w.n)), w, schedule="layered",
                   layered_group=2, backend="roll")
+
+
+def test_log1mexp_matches_expm1_form():
+    """The Mosaic-safe log(1-exp(-a)) (no expm1 lowering on TPU) must
+    track the exact expm1 form over the kernel's operating range."""
+    import jax.numpy as jnp
+
+    from ldpc_sims_tpu.kernels.minsum_qc import _log1mexp
+
+    a = np.concatenate([
+        np.logspace(-12, -1, 200), np.linspace(0.1, 0.3, 100),
+        np.linspace(0.3, 80.0, 200),
+    ]).astype(np.float32)
+    got = np.asarray(_log1mexp(jnp.asarray(a)))
+    want = np.log(-np.expm1(-a.astype(np.float64)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
