@@ -10,13 +10,15 @@ exactly one JSON line:
 itself measured ≈1.06e4 bits/s on CPU for a far smaller code —
 BASELINE.md §B — so the target, not the reference, is the denominator).
 
-Headline selection: both the flooding-20 decode (the literal north-star
-config) and the layered-10 decode are timed, and a paired BER check at
-2.5 dB guards the equal-BER claim (one layered sweep costs the same as
-one flooding iteration but converges in half the sweeps, so layered-10
-≈ 2x flooding-20 at the same BER — docs/artifacts/*_layered_parity).
-If the guard passes, the faster schedule is the headline; otherwise
-flooding-20 is. Both raw numbers always go to stderr.
+Headline selection: flooding-20 (the literal north-star config),
+layered-10, and every committed trained layered-K schedule
+(docs/artifacts/minsum_trained_schedules.json) are timed in the
+device-resident pipeline (PIPE_S decode steps inside one jit — the MC
+engine's real execution shape; per-step-synced timings carry a ~25
+ms/step host-RTT floor on the tunneled chip and are reported
+separately). A paired BER check at the 1.75 dB waterfall point guards
+every equal-BER claim; the fastest parity-passing configuration is the
+headline. All raw numbers go to stderr.
 
 Compile-time note (VERDICT r2 #3), diagnosis chain measured 2026-08-20:
 (1) the JAX persistent-cache key IS stable across processes (component
@@ -114,6 +116,54 @@ def main() -> None:
 
         return decode_step
 
+    # device-resident pipeline: S decode steps inside one jit (fori_loop,
+    # on-device PRNG), one host fetch at the end — the configuration the
+    # MC sweep engine actually runs (parallel/mc.py device loops). The
+    # per-step-synced numbers above carry a ~25 ms/step host floor on
+    # the tunneled chip (value fetch RTT); measured 2026-08-20:
+    # layered-10 48.1 ms synced vs 21.3 ms in a 32-step pipeline.
+    PIPE_S = int(os.environ.get("BENCH_PIPE_STEPS", "32"))
+
+    def make_pipe(schedule: str, iters: int, alpha=1.0, beta=0.0):
+        @jax.jit
+        def pipe(key):
+            def body(i, acc):
+                k = jax.random.fold_in(key, i)
+                llr = (
+                    jax.random.normal(k, (batch, code.n), jnp.float32)
+                    * 2.0 - 4.0
+                )
+                bits = bp_decode(
+                    llr, code, iterations=iters, method="min-sum",
+                    schedule=schedule, alpha=alpha, beta=beta,
+                    output="hard", dtype=dtype,
+                )
+                return acc + jnp.sum(bits.astype(jnp.int32))
+
+            return jax.lax.fori_loop(0, PIPE_S, body, jnp.int32(0))
+
+        return pipe
+
+    def timed_pipe(pipe, tag: str) -> float:
+        t0 = time.perf_counter()
+        float(pipe(jax.random.key(999)))
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            float(pipe(jax.random.key(i)))
+            ts.append(time.perf_counter() - t0)
+        dt = sorted(ts)[len(ts) // 2]
+        rate = batch * code.k * PIPE_S / dt
+        log(
+            f"{tag} [pipeline x{PIPE_S}]: {dt * 1e3 / PIPE_S:.2f} "
+            f"ms/step, {rate:.3e} info bits/s "
+            f"(compile+first {compile_s:.1f}s)"
+        )
+        art[f"{tag}_pipe_ms_per_step"] = dt * 1e3 / PIPE_S
+        art[f"{tag}_pipe_bits_per_s"] = rate
+        return rate
+
     key = jax.random.key(0)
 
     def timed_rate(step, tag: str, iters: int) -> float:
@@ -140,6 +190,8 @@ def main() -> None:
 
     flood = make_step("flooding", ITERS_FLOOD)
     rate_flood = timed_rate(flood, "flooding-20", ITERS_FLOOD)
+    pipe_flood = timed_pipe(make_pipe("flooding", ITERS_FLOOD),
+                            "flooding-20")
 
     if os.environ.get("BENCH_PROFILE"):
         jax.profiler.start_trace("/tmp/ldpc_bench_trace")
@@ -148,12 +200,14 @@ def main() -> None:
         log("trace written to /tmp/ldpc_bench_trace")
 
     # layered at the matched-BER sweep count, with an in-run parity guard
-    rate_lay, parity_ok = 0.0, False
+    rate_lay, pipe_lay, parity_ok = 0.0, 0.0, False
     trained_cands: list[tuple[float, str]] = []
     try:
         layered = make_step("layered", ITERS_LAYERED)
         rate_lay = timed_rate(layered, f"layered-{ITERS_LAYERED}",
                               ITERS_LAYERED)
+        pipe_lay = timed_pipe(make_pipe("layered", ITERS_LAYERED),
+                              f"layered-{ITERS_LAYERED}")
 
         def ber_step(schedule: str, iters: int, alpha=1.0, beta=0.0):
             @jax.jit
@@ -212,9 +266,9 @@ def main() -> None:
                 K = int(kstr)
                 al = tuple(float(x) for x in ent["alpha"])
                 be = tuple(float(x) for x in ent["beta"])
-                r_t = timed_rate(
-                    make_step("layered", K, al, be),
-                    f"trained-layered-{K}", K,
+                r_t = timed_pipe(
+                    make_pipe("layered", K, al, be),
+                    f"trained-layered-{K}",
                 )
                 errs_t = float(ber_step("layered", K, al, be)(kb))
                 ok = errs_t <= errs_f * 1.15 + 50.0
@@ -227,17 +281,24 @@ def main() -> None:
                 if ok:
                     trained_cands.append((r_t, (
                         "decoded info bits/s/chip, (1944,972) min-sum @ "
-                        f"flooding-20 BER (trained layered-{K})"
+                        f"flooding-20 BER (trained layered-{K}, "
+                        "device-resident pipeline)"
                     )))
     except Exception as e:  # pragma: no cover - guard must not kill bench
         log(f"layered benchmark skipped: {e}")
 
-    candidates = [(rate_flood,
-                   "decoded info bits/s/chip, (1944,972) 20-iter min-sum")]
+    # headline: fastest parity-passing configuration, measured in the
+    # device-resident pipeline (the MC engine's real execution shape);
+    # per-step-synced numbers stay in the artifact for continuity with
+    # rounds 1-2 (they carry the tunnel's ~25 ms/step host-sync floor)
+    candidates = [(pipe_flood, (
+        "decoded info bits/s/chip, (1944,972) 20-iter min-sum "
+        "(device-resident pipeline)"
+    ))]
     if parity_ok:
-        candidates.append((rate_lay, (
+        candidates.append((pipe_lay, (
             "decoded info bits/s/chip, (1944,972) min-sum @ flooding-20 "
-            f"BER (layered-{ITERS_LAYERED})"
+            f"BER (layered-{ITERS_LAYERED}, device-resident pipeline)"
         )))
     candidates += trained_cands
     rate, metric = max(candidates, key=lambda c: c[0])

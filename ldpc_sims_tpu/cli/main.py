@@ -159,6 +159,7 @@ def cmd_sweep(args) -> None:
             snrdb=_snr_grid(args, code), batch_cw=args.batch,
             target_frame_errors=args.target_errors,
             max_info_bits=args.max_bits,
+            steps_per_sync=args.steps_per_sync,
         )
         grids = (args.msg_qbits if args.msg_qbits > 0 else None,)
 
@@ -604,6 +605,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--batch", type=int, default=4096)
     sp.add_argument("--target-errors", type=int, default=100)
     sp.add_argument("--max-bits", type=float, default=1e8)
+    sp.add_argument("--steps-per-sync", type=int, default=1,
+                    help="MC steps per host sync (device-resident "
+                         "fori_loop chunk; ~2x throughput at 8+ on the "
+                         "tunneled chip, coarser stopping granularity)")
     sp.add_argument("--msg-qbits", type=int, default=0)
     sp.add_argument("--multihost", action="store_true",
                     help="initialize jax.distributed for a pod slice")

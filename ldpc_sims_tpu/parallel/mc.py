@@ -54,6 +54,14 @@ class SweepConfig:
     max_info_bits: float = 1e8
     min_info_bits: float = 1e5
     seed: int = 0
+    # MC steps executed inside ONE jit (lax.fori_loop) per host sync.
+    # On the tunneled chip a value fetch costs ~25 ms regardless of
+    # work, so syncing every step caps throughput at ~40 steps/s;
+    # chunking realizes the kernel's device-resident rate (measured
+    # 2026-08-20 on (1944,972): layered-10 48 ms/step synced vs 21 ms
+    # in a 32-step chunk). Stopping-rule granularity coarsens to the
+    # chunk — keep 1 for tiny exploratory runs.
+    steps_per_sync: int = 1
 
 
 @dataclasses.dataclass
@@ -86,6 +94,7 @@ def mc_step(
     batch_cw: int,
     mesh=None,
     weights: Any | None = None,
+    steps_per_sync: int = 1,
 ) -> Callable:
     """Build the jitted sharded Monte-Carlo step: (key, snrdb) → counts.
 
@@ -107,7 +116,7 @@ def mc_step(
     per_dev = batch_cw // n_dev
     shard = batch_sharding(mesh)
 
-    def step(key: jax.Array, snrdb: jax.Array):
+    def one(key: jax.Array, snrdb: jax.Array):
         keys = jax.lax.with_sharding_constraint(
             jax.random.split(key, n_dev), shard
         )
@@ -115,6 +124,32 @@ def mc_step(
             lambda k: link_step(k, snrdb, code, cfg, per_dev, weights=weights)
         )(keys)
         return {k: jnp.sum(outs[k]) for k in _COUNT_KEYS}
+
+    if steps_per_sync < 1:
+        raise ValueError(f"steps_per_sync={steps_per_sync} must be >= 1")
+    if steps_per_sync == 1:
+        step = one
+    else:
+        # int32 count accumulators: the largest per-chunk total is
+        # uncoded_bits = steps x batch x n — guard the overflow bound
+        if steps_per_sync * batch_cw * code.n >= 2**31 - 1:
+            raise ValueError(
+                "steps_per_sync x batch_cw x n overflows int32 counts; "
+                "lower steps_per_sync or batch_cw"
+            )
+
+        def step(key: jax.Array, snrdb: jax.Array):
+            # device-resident chunk: steps_per_sync MC steps in one
+            # fori_loop, ONE host fetch of the summed counters. Inner
+            # keys fold_in(key, i) never collide across chunks (parents
+            # differ). See SweepConfig.steps_per_sync for the why.
+            acc0 = one(jax.random.fold_in(key, 0), snrdb)
+
+            def body(i, acc):
+                c = one(jax.random.fold_in(key, i), snrdb)
+                return {k: acc[k] + c[k] for k in _COUNT_KEYS}
+
+            return jax.lax.fori_loop(1, steps_per_sync, body, acc0)
 
     jitted = jax.jit(step)
 
@@ -148,7 +183,8 @@ def run_sweep(
     """
     from ldpc_sims_tpu.utils.metrics import PhaseTimer
 
-    step = mc_step(code, link_cfg, sweep.batch_cw, mesh, weights)
+    step = mc_step(code, link_cfg, sweep.batch_cw, mesh, weights,
+                   steps_per_sync=sweep.steps_per_sync)
     timer = PhaseTimer()  # compile+first step vs steady-state split
 
     state: dict[str, Any] = {"points": {}}
@@ -187,7 +223,7 @@ def run_sweep(
             acc["wall_s"] += dt
             for k in _COUNT_KEYS:
                 acc[k] += counts[k]
-            acc["steps"] += 1
+            acc["steps"] += sweep.steps_per_sync
             state["points"][pkey] = acc
             if metrics is not None:
                 metrics.log("sweep-step", snrdb=float(snrdb), wall_s=dt,
