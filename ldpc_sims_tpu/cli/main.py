@@ -52,7 +52,8 @@ PRESETS: dict[str, dict] = {
                   bp_method="sum-product", clamp=None, ofdm_size=32,
                   bp_schedule="layered", early_stop=True),
         sweep=dict(snrdb=tuple(np.linspace(0, 6, 13).tolist()),
-                   batch_cw=4096, target_frame_errors=100),
+                   batch_cw=4096, target_frame_errors=100,
+                   steps_per_sync=8),
     ),
     # 3: quantized min-sum decoder message-quantization grid
     "quantized-minsum": dict(
@@ -60,7 +61,8 @@ PRESETS: dict[str, dict] = {
         link=dict(modulation="qpsk", bp_iterations=20, bp_method="min-sum",
                   clamp=None, ofdm_size=32),
         sweep=dict(snrdb=tuple(np.linspace(0, 6, 7).tolist()),
-                   batch_cw=4096, target_frame_errors=100),
+                   batch_cw=4096, target_frame_errors=100,
+                   steps_per_sync=8),
         msg_qbits_grid=(3, 4, 5),
     ),
     # 4: OFDM end-to-end 64-subcarrier QAM-16 chain (layered QC default,
@@ -71,7 +73,8 @@ PRESETS: dict[str, dict] = {
                   bp_method="min-sum", clamp=None, ofdm_size=64,
                   bp_schedule="layered", early_stop=True),
         sweep=dict(snrdb=tuple(np.linspace(4, 12, 9).tolist()),
-                   batch_cw=4096, target_frame_errors=100),
+                   batch_cw=4096, target_frame_errors=100,
+                   steps_per_sync=8),
     ),
     # 5: the reference chain (64,32) for BER parity studies
     "reference": dict(
