@@ -201,6 +201,7 @@ def main() -> None:
 
     # layered at the matched-BER sweep count, with an in-run parity guard
     rate_lay, pipe_lay, parity_ok = 0.0, 0.0, False
+    lay_floor_ok = False
     trained_cands: list[tuple[float, str]] = []
     try:
         layered = make_step("layered", ITERS_LAYERED)
@@ -256,12 +257,28 @@ def main() -> None:
         if os.path.exists(reg_path) and not os.environ.get(
             "BENCH_SKIP_TRAINED"
         ):
-            sched = json.load(open(reg_path)).get(
-                "wifi1944", {}
-            ).get("layered", {})
+            reg_w = json.load(open(reg_path)).get("wifi1944", {})
+            # plain layered-10 may claim flooding-20 BER only if the
+            # deep error-floor campaign cleared it (it did NOT as of
+            # 2026-08-21: 5.8x worse BER at 3.5 dB — see
+            # docs/artifacts/20260821-014434_error_floor.json)
+            lay_floor_ok = bool(reg_w.get("layered_plain_floor_ok"))
+            sched = reg_w.get("layered", {})
             for kstr in sorted(sched, key=int):
                 ent = sched[kstr]
                 if not ent.get("parity_ok"):
+                    continue
+                if ent.get("floor_ok") is not True:
+                    # waterfall parity is not enough for a headline: the
+                    # error-floor campaign (examples/error_floor_campaign
+                    # .py, >=1e11 info bits/point at 2.5-3.5 dB) must
+                    # clear the schedule — trained layered-6/8 pass at
+                    # 1.75 dB but floor 10-155x above the control at
+                    # 3.0-3.5 dB
+                    log(
+                        f"trained layered-{kstr}: skipped (error-floor "
+                        f"campaign: floor_ok={ent.get('floor_ok')!r})"
+                    )
                     continue
                 K = int(kstr)
                 al = tuple(float(x) for x in ent["alpha"])
@@ -295,7 +312,7 @@ def main() -> None:
         "decoded info bits/s/chip, (1944,972) 20-iter min-sum "
         "(device-resident pipeline)"
     ))]
-    if parity_ok:
+    if parity_ok and lay_floor_ok:
         candidates.append((pipe_lay, (
             "decoded info bits/s/chip, (1944,972) min-sum @ flooding-20 "
             f"BER (layered-{ITERS_LAYERED}, device-resident pipeline)"

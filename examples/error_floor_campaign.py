@@ -1,0 +1,242 @@
+#!/usr/bin/env python
+"""Error-floor BER campaign for every headline decode schedule.
+
+Every equal-BER throughput claim so far (bench.py, README) was guarded
+at waterfall SNRs (1.75-2.25 dB, BER >= ~1e-5). Trained offset/scale
+schedules — several committed betas are negative — are exactly the kind
+of min-sum variant that can develop an error floor at BER <= 1e-7 where
+the plain decoder does not (the reference's own discipline is a control
+curve on identical bits, /root/reference/pytorch/evaluate_snr.py:121-133).
+This campaign runs each schedule against the flooding-20 control on
+PAIRED noise (same PRNG keys per point) deep into the floor region:
+
+  schedules: flooding-20 (control), layered-10, every committed trained
+             layered-K (docs/artifacts/minsum_trained_schedules.json);
+  points:    $EF_SNRS dB (default 2.5, 3.0, 3.5 — Es/N0, BPSK-on-AWGN
+             all-zero codeword, LLR = -2r/sigma^2);
+  budget:    >= $EF_TARGET_BITS info bits per (schedule, point)
+             (default 1e11 — ~1-2 min/point at measured rates), with an
+             early break once $EF_MAX_ERRS bit errors are seen (points
+             far above the floor need no more statistics).
+
+Device-resident execution: an inner jit runs $EF_CHUNK_STEPS decode
+steps per host sync (the MC engine's shape); per-chunk int32 error
+counters are summed into Python ints host-side so nothing overflows.
+
+Verdict per (schedule, point): floor_ok iff the schedule's bit-error
+count does not exceed the paired control's by more than 15% plus
+5*sqrt(control) Poisson slack — the same tolerance family as bench.py's
+waterfall guard. Results go to docs/artifacts/<stamp>_error_floor.json
+(resumable: pass EF_RESUME=<path> to extend an earlier run) and the
+per-schedule floor_ok flags are folded back into the trained-schedule
+registry, which bench.py consults before promoting a schedule to the
+headline.
+
+Run:  python examples/error_floor_campaign.py
+"""
+
+import json
+import math
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from ldpc_sims_tpu.codes import get_code
+from ldpc_sims_tpu.ops.bp import bp_decode
+from ldpc_sims_tpu.utils import enable_compilation_cache
+
+ART_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "docs", "artifacts",
+)
+REG_PATH = os.path.join(ART_DIR, "minsum_trained_schedules.json")
+
+SNRS = tuple(
+    float(x) for x in os.environ.get("EF_SNRS", "2.5,3.0,3.5").split(",")
+)
+TARGET_BITS = float(os.environ.get("EF_TARGET_BITS", "1e11"))
+MAX_ERRS = float(os.environ.get("EF_MAX_ERRS", "2e6"))
+BATCH = int(os.environ.get("EF_BATCH", "32768"))
+CHUNK_STEPS = int(os.environ.get("EF_CHUNK_STEPS", "32"))
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_chunk(code, schedule: str, iters: int, alpha, beta):
+    """CHUNK_STEPS paired decode steps inside one jit.
+
+    Returns (bit_errs, frame_errs) int32 for the chunk. Keys are derived
+    from (point key, step index) only — schedule-independent, so every
+    schedule sees identical noise (paired comparison).
+    """
+
+    @jax.jit
+    def chunk(point_key, chunk_idx, snr_db):
+        snr = 10.0 ** (snr_db / 10.0)
+        sigma = jnp.sqrt(1.0 / snr)
+
+        def body(i, acc):
+            be, fe = acc
+            k = jax.random.fold_in(point_key, chunk_idx * CHUNK_STEPS + i)
+            r = 1.0 + sigma * jax.random.normal(
+                k, (BATCH, code.n), jnp.float32
+            )
+            llr = -2.0 * r / (sigma * sigma)
+            bits = bp_decode(
+                llr, code, iterations=iters, method="min-sum",
+                schedule=schedule, alpha=alpha, beta=beta, output="hard",
+            )
+            errs = jnp.sum(bits.astype(jnp.int32), axis=1)
+            return be + jnp.sum(errs), fe + jnp.sum(
+                (errs > 0).astype(jnp.int32)
+            )
+
+        return jax.lax.fori_loop(
+            0, CHUNK_STEPS, body, (jnp.int32(0), jnp.int32(0))
+        )
+
+    return chunk
+
+
+def run_point(code, name, schedule, iters, alpha, beta, snr_db, pidx):
+    chunk = make_chunk(code, schedule, iters, alpha, beta)
+    point_key = jax.random.fold_in(jax.random.key(20260821), pidx)
+    info_per_chunk = BATCH * code.k * CHUNK_STEPS
+    coded_per_chunk = BATCH * code.n * CHUNK_STEPS
+    n_chunks = max(1, math.ceil(TARGET_BITS / info_per_chunk))
+    be_tot, fe_tot, frames, coded = 0, 0, 0, 0
+    t0 = time.perf_counter()
+    for c in range(n_chunks):
+        be, fe = chunk(point_key, jnp.int32(c), jnp.float32(snr_db))
+        be_tot += int(be)
+        fe_tot += int(fe)
+        frames += BATCH * CHUNK_STEPS
+        coded += coded_per_chunk
+        if be_tot >= MAX_ERRS:
+            break
+    wall = time.perf_counter() - t0
+    info_bits = frames * code.k
+    res = {
+        "schedule": name, "snr_db": snr_db,
+        "info_bits": info_bits, "coded_bits": coded,
+        "bit_errs": be_tot, "frame_errs": fe_tot, "frames": frames,
+        "ber": be_tot / coded, "fler": fe_tot / frames,
+        "wall_s": wall,
+    }
+    log(
+        f"{name} @{snr_db} dB: BER {res['ber']:.3e} ({be_tot} errs / "
+        f"{coded:.3g} coded bits), FLER {res['fler']:.3e} "
+        f"({fe_tot} frames), {wall:.0f}s"
+    )
+    return res
+
+
+def main() -> None:
+    log(f"compilation cache: {enable_compilation_cache()}")
+    code = get_code("wifi1944")
+    log(f"device: {jax.devices()[0]}, code: {code}, batch={BATCH}")
+
+    schedules = [
+        ("flooding-20", "flooding", 20, 1.0, 0.0),
+        ("layered-10", "layered", 10, 1.0, 0.0),
+    ]
+    reg = {}
+    if os.path.exists(REG_PATH):
+        reg = json.load(open(REG_PATH))
+        for kstr, ent in sorted(
+            reg.get("wifi1944", {}).get("layered", {}).items(), key=lambda kv: int(kv[0])
+        ):
+            if ent.get("parity_ok"):
+                schedules.append((
+                    f"trained-layered-{kstr}", "layered", int(kstr),
+                    tuple(float(x) for x in ent["alpha"]),
+                    tuple(float(x) for x in ent["beta"]),
+                ))
+
+    resume = os.environ.get("EF_RESUME")
+    results = []
+    done = set()
+    if resume and os.path.exists(resume):
+        results = json.load(open(resume))["points"]
+        done = {(r["schedule"], r["snr_db"]) for r in results}
+        out_path = resume
+    else:
+        stamp = time.strftime("%Y%m%d-%H%M%S")
+        out_path = os.path.join(ART_DIR, f"{stamp}_error_floor.json")
+
+    for pidx, snr_db in enumerate(SNRS):
+        for name, schedule, iters, alpha, beta in schedules:
+            if (name, snr_db) in done:
+                log(f"skip {name} @{snr_db} dB (resumed)")
+                continue
+            results.append(
+                run_point(code, name, schedule, iters, alpha, beta,
+                          snr_db, pidx)
+            )
+            with open(out_path, "w") as f:
+                json.dump({
+                    "code": "wifi1944", "batch": BATCH,
+                    "target_info_bits": TARGET_BITS,
+                    "paired": True, "points": results,
+                }, f, indent=1)
+
+    # verdicts: per schedule, floor_ok at every point vs paired control
+    ctrl = {
+        r["snr_db"]: r for r in results if r["schedule"] == "flooding-20"
+    }
+    verdicts = {}
+    for r in results:
+        if r["schedule"] == "flooding-20":
+            continue
+        c = ctrl.get(r["snr_db"])
+        if c is None or c["coded_bits"] == 0:
+            continue
+        # scale control errors to this run's exposure before comparing
+        scale = r["coded_bits"] / c["coded_bits"]
+        ce = c["bit_errs"] * scale
+        ok = r["bit_errs"] <= ce * 1.15 + 5.0 * math.sqrt(ce) + 20.0
+        verdicts.setdefault(r["schedule"], []).append(
+            {"snr_db": r["snr_db"], "floor_ok": bool(ok),
+             "ber": r["ber"], "ber_ctrl": c["ber"]}
+        )
+        log(
+            f"verdict {r['schedule']} @{r['snr_db']} dB: "
+            f"{r['ber']:.3e} vs control {c['ber']:.3e} -> "
+            f"{'OK' if ok else 'FLOORS'}"
+        )
+
+    with open(out_path, "w") as f:
+        json.dump({
+            "code": "wifi1944", "batch": BATCH,
+            "target_info_bits": TARGET_BITS, "paired": True,
+            "points": results, "verdicts": verdicts,
+        }, f, indent=1)
+    log(f"artifact: {out_path}")
+
+    # fold floor_ok back into the schedule registry for bench.py
+    if reg:
+        layered = reg.get("wifi1944", {}).get("layered", {})
+        for kstr, ent in layered.items():
+            vs = verdicts.get(f"trained-layered-{kstr}")
+            if vs:
+                ent["floor_ok"] = all(v["floor_ok"] for v in vs)
+                ent["floor_points_db"] = [v["snr_db"] for v in vs]
+        vs = verdicts.get("layered-10")
+        if vs is not None:
+            reg.setdefault("wifi1944", {})["layered_plain_floor_ok"] = all(
+                v["floor_ok"] for v in vs
+            )
+        with open(REG_PATH, "w") as f:
+            json.dump(reg, f, indent=1)
+        log(f"registry updated: {REG_PATH}")
+
+
+if __name__ == "__main__":
+    main()
