@@ -119,6 +119,7 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                   es_check_every: int = 1,
                   with_done_in: bool = False,
                   with_ab: bool = False,
+                  with_weights: bool = False,
                   msg_qbits: int | None = None,
                   msg_qclip: float = 20.0,
                   schedule: str = "flooding",
@@ -163,6 +164,18 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
             # read per iteration as two scalars, so the weighted decode
             # costs two extra VPU broadcasts per iteration
             ab_ref, *rest = rest
+        if with_weights:
+            # per-edge neural-BP weight tables (the reference's trainable
+            # VC capacity, bp/bp_vc.py:101-107, in Nachmani per-edge
+            # form), packed host-side by _pack_edge_weights: z on the
+            # sublane axis, one lane column per (check row, slot) —
+            # width-1 lane slices broadcast against the (z, tile)
+            # message planes with no transposes. Row `iterations` holds
+            # the final-marginalization weights.
+            #   wm_ref: (iterations+1, z, mb*dc_max)  message weights,
+            #           pre-rolled to check orientation;
+            #   wl_ref: (iterations+1, z, nb)         LLR weights.
+            wm_ref, wl_ref, *rest = rest
         if early_stop:
             out_ref, iters_ref, msg_ref, post_ref = rest
         else:
@@ -196,6 +209,24 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                 acc = ld(llr_ref[j])
                 for (i, k, s) in var_slots[j]:
                     acc = acc + _roll(ld(msg_ref[i, k]), s)
+                post_ref[j] = acc.astype(dtype)
+
+        def write_posterior_w(row):
+            """Neural-BP weighted posterior using weight-table row ``row``
+            (iteration index, or ``iterations`` for the final
+            marginalization weights). The weighted exclusive sum for slot
+            (i,k,s) then telescopes exactly like the plain one:
+            v2c = roll(post_w[j], −s) − wm[row,i,k] ⊙ msg[i,k].
+            """
+            wm_t = wm_ref[row]  # (z, mb*dc_max)
+            wl_t = wl_ref[row]  # (z, nb)
+            for j in range(nb):
+                acc = ld(llr_ref[j]) * wl_t[:, j:j + 1]
+                for (i, k, s) in var_slots[j]:
+                    c = i * dc_max + k
+                    acc = acc + _roll(
+                        wm_t[:, c:c + 1] * ld(msg_ref[i, k]), s
+                    )
                 post_ref[j] = acc.astype(dtype)
 
         def syndrome_unsat():
@@ -277,11 +308,16 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
         def update(done, it=0):
             """One flooding iteration; done≠0 lanes keep their messages."""
             keep = None if done is None else (done > 0)
+            wm_t = wm_ref[it] if with_weights else None
             # -- variable update, in place (reads post_ref) ------------
             for j in range(nb):
                 for (i, k, s) in var_slots[j]:
+                    m = ld(msg_ref[i, k])
+                    if with_weights:
+                        c = i * dc_max + k
+                        m = m * wm_t[:, c:c + 1]
                     new = (
-                        _roll(ld(post_ref[j]), -s) - ld(msg_ref[i, k])
+                        _roll(ld(post_ref[j]), -s) - m
                     ).astype(dtype)
                     if keep is not None:
                         new = jnp.where(keep, msg_ref[i, k], new)
@@ -346,13 +382,22 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                 layered_sweep(done, it)  # maintains post_ref incrementally
             else:
                 update(done, it)
-                write_posterior()
+                if with_weights:
+                    # row it+1: next iteration's weights, or (after the
+                    # last iteration) the final-marginalization row
+                    write_posterior_w(it + 1)
+                else:
+                    write_posterior()
 
         def run():
             msg_ref[...] = jnp.zeros_like(msg_ref)
             if schedule != "layered":  # layered never reads pad slots
                 stamp_pads()
-            write_posterior()  # posterior of the zero-message state = LLRs
+            # posterior of the zero-message state = (weighted) LLRs
+            if with_weights:
+                write_posterior_w(0)
+            else:
+                write_posterior()
 
             if early_stop:
                 # per-lane termination: a lane freezes at its first
@@ -416,6 +461,69 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
     return kernel, (mb, dc_max, nb, z)
 
 
+def _pack_edge_weights(weights, qc: QcStructure, iterations: int,
+                       dc_max: int):
+    """Edge-flavor neural-BP pytree → kernel weight tables.
+
+    Input layout is the backend-shared one (``bp.init_neural_bp_weights``
+    / ``bp_roll.decode_roll:wslice``): ``w_msg`` (iterations, n, dv) in
+    variable space with check-sorted slots, ``w_llr`` (iterations, n),
+    plus the ``*_final`` marginalization weights.
+
+    Returns ``(wm_tab, wl_tab)``: (iterations+1, z, mb*dc_max) and
+    (iterations+1, z, nb) float32 with z on the SUBLANE axis and one
+    lane column per (check row, slot) / per variable block — so the
+    kernel reads width-1 lane slices that broadcast against the
+    (z, tile) message planes with no transposes. Message weights are
+    pre-rolled from variable to check orientation (roll −s):
+    ``roll(w ⊙ roll(msg, s), −s) == roll(w, −s) ⊙ msg``. Row
+    ``iterations`` holds the final weights; pad columns are 1.
+    Traced-safe (jnp ops only) so trained weight arrays can flow through
+    jit into the kernel operands.
+    """
+    planes, group_c, group_v = qc_plan(qc)
+    mb, nb, z = qc.mb, qc.nb, qc.z
+    n = nb * z
+    wm = jnp.asarray(weights["w_msg"], jnp.float32)
+    dv = wm.shape[-1]
+    if wm.shape != (iterations, n, dv):
+        raise ValueError(
+            f"w_msg shape {wm.shape} != ({iterations}, {n}, dv)"
+        )
+    wm = wm.reshape(iterations, nb, z, dv)
+    wmf = jnp.asarray(weights["w_msg_final"], jnp.float32)
+    if wmf.shape != (n, dv):
+        raise ValueError(f"w_msg_final shape {wmf.shape} != ({n}, {dv})")
+    wmf = wmf.reshape(nb, z, dv)
+    wl = jnp.asarray(weights["w_llr"], jnp.float32)
+    if wl.shape != (iterations, n):
+        raise ValueError(f"w_llr shape {wl.shape} != ({iterations}, {n})")
+    wl = wl.reshape(iterations, nb, z)
+    wlf = jnp.asarray(weights["w_llr_final"], jnp.float32).reshape(nb, z)
+
+    kv_of_plane: dict[int, int] = {}
+    for j in range(nb):
+        for kv, p in enumerate(group_v[j]):
+            kv_of_plane[p] = kv
+    cols: dict[int, jnp.ndarray] = {}
+    for i, ps in enumerate(group_c):
+        for k, p in enumerate(ps):
+            _, j, s = planes[p]
+            kv = kv_of_plane[p]
+            w_all = jnp.concatenate(
+                [wm[:, j, :, kv], wmf[j, :, kv][None]], axis=0
+            )  # (iterations+1, z), variable orientation
+            cols[i * dc_max + k] = jnp.roll(w_all, -s, axis=1)
+    ones = jnp.ones((iterations + 1, z), jnp.float32)
+    wm_tab = jnp.stack(
+        [cols.get(c, ones) for c in range(mb * dc_max)], axis=2
+    )
+    wl_tab = jnp.transpose(
+        jnp.concatenate([wl, wlf[None]], axis=0), (0, 2, 1)
+    )  # (iterations+1, z, nb)
+    return wm_tab, wl_tab
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("qc", "iterations", "method", "alpha", "beta",
@@ -438,6 +546,7 @@ def bp_qc_pallas(
     msg_qclip: float = 20.0,
     schedule: str = "flooding",
     layered_group: int = 1,
+    weights=None,
     tile: int = 128,
     output: str = "hard",
     dtype=jnp.float32,
@@ -464,7 +573,11 @@ def bp_qc_pallas(
     bfloat16 — bf16 halves VMEM residency). ``alpha``/``beta`` may be
     length-``iterations`` tuples — a frozen weighted-min-sum schedule
     (``bp.freeze_minsum_weights``), applied per iteration from an SMEM
-    table at ~zero throughput cost.
+    table at ~zero throughput cost. ``weights``: an edge-flavor
+    neural-BP pytree (``bp.init_neural_bp_weights(..., flavor='edge')``)
+    — trained per-edge decoders run on the fast path as ~1 MB of VMEM
+    weight tables (flooding schedule only, no early stop; bit-exact vs
+    the roll backend's weighted decode).
     """
     if method not in ("min-sum", "sum-product"):
         raise ValueError(f"unsupported kernel method {method!r}")
@@ -503,10 +616,28 @@ def bp_qc_pallas(
 
     if layered_group < 1 or (layered_group > 1 and schedule != "layered"):
         raise ValueError("layered_group needs schedule='layered'")
+    if weights is not None:
+        if schedule != "flooding":
+            raise ValueError(
+                "neural-BP weights assume a flooding unroll "
+                "(schedule='flooding')"
+            )
+        if early_stop or done_in is not None:
+            raise ValueError("neural-BP weights with early stop is "
+                             "unsupported")
+        missing = {"w_msg", "w_llr", "w_msg_final", "w_llr_final"} - set(
+            weights
+        )
+        if missing or "w_pair" in weights:
+            raise ValueError(
+                "kernel weights must be the edge flavor "
+                f"(missing {missing or 'nothing'}; w_pair unsupported)"
+            )
     kernel, (mb, dc_max, nb, z) = _build_kernel(
         qc, iterations, alpha, beta, method, clamp,
         early_stop=early_stop, es_check_every=es_check_every,
         with_done_in=done_in is not None, with_ab=with_ab,
+        with_weights=weights is not None,
         msg_qbits=msg_qbits, msg_qclip=msg_qclip,
         schedule=schedule, layered_group=layered_group, dtype=dtype,
     )
@@ -521,10 +652,17 @@ def bp_qc_pallas(
     # plus a fixed 8 MB margin (measured: tile=256 f32 on (1944,972)
     # needs 37.04 MB vs 34.17 MB from the bare 2x formula).
     itemsize = dtype.itemsize
+    lane_pad = lambda d: -(-d // 128) * 128  # noqa: E731
     vmem_bytes = itemsize * (
         2 * 2 * nb * z * tile  # in + out blocks, double-buffered
         + (mb * dc_max + nb) * z * tile  # message + posterior scratch
     )
+    if weights is not None:
+        # f32 weight tables, lane-padded to 128 columns
+        vmem_bytes += (
+            4 * (iterations + 1) * z
+            * (lane_pad(mb * dc_max) + lane_pad(nb))
+        )
     params = pltpu.CompilerParams(
         dimension_semantics=("arbitrary",),
         vmem_limit_bytes=min(
@@ -548,6 +686,18 @@ def bp_qc_pallas(
                          memory_space=pltpu.SMEM)
         )
         operands.append(jnp.asarray(ab_tab))
+    if weights is not None:
+        wm_tab, wl_tab = _pack_edge_weights(weights, qc, iterations, dc_max)
+        in_specs.append(
+            pl.BlockSpec((iterations + 1, z, mb * dc_max),
+                         lambda b: (0, 0, 0), memory_space=pltpu.VMEM)
+        )
+        operands.append(wm_tab)
+        in_specs.append(
+            pl.BlockSpec((iterations + 1, z, nb), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(wl_tab)
     out_shape = [jax.ShapeDtypeStruct((nb, z, B), dtype)]
     out_specs = [
         pl.BlockSpec((nb, z, tile), lambda b: (0, 0, b),

@@ -284,6 +284,18 @@ def freeze_minsum_weights(weights: dict) -> tuple[tuple, tuple]:
     )
 
 
+def _edge_flavor(weights) -> bool:
+    """True iff ``weights`` is exactly the edge-flavor neural-BP pytree
+    (the kind the Pallas kernel can take as VMEM weight tables)."""
+    return (
+        isinstance(weights, dict)
+        and {"w_msg", "w_llr", "w_msg_final", "w_llr_final"}
+        <= set(weights)
+        and not ({"w_pair", "ms_alpha", "ms_beta", "alpha", "beta"}
+                 & set(weights))
+    )
+
+
 def _pallas_eligible(
     method: str,
     early_stop: bool,
@@ -295,16 +307,20 @@ def _pallas_eligible(
     """Whether the VMEM-resident Pallas kernel can serve this decode.
 
     The kernel covers min-sum / sum-product with clamp, per-codeword
-    early stop, message quantization and bf16 storage; it cannot serve
-    neural-BP weights (not differentiable, and weight planes would spill
-    VMEM). Auto-selection additionally requires a hard-decision output
-    (the kernel carries no gradient; hard bits carry none anyway) and a
-    real TPU default backend — explicit ``backend='pallas'`` also
-    accepts posterior/soft outputs for inference sweeps.
+    early stop, message quantization, bf16 storage, and — for inference
+    — edge-flavor neural-BP weight pytrees (packed into ~1 MB of VMEM
+    weight tables; flooding schedule, no early stop). Traced ms
+    pytrees and pair-flavor weights stay on the roll/gather backends.
+    Auto-selection additionally requires a hard-decision output (the
+    kernel carries no gradient; hard bits carry none anyway) and a real
+    TPU default backend — explicit ``backend='pallas'`` also accepts
+    posterior/soft outputs for inference sweeps.
     """
     if method not in ("min-sum", "sum-product"):
         return False
-    if weights is not None:
+    if weights is not None and not (
+        _edge_flavor(weights) and not early_stop
+    ):
         return False
     if output == "hard_iters" and not early_stop:
         return False
@@ -463,11 +479,13 @@ def bp_decode(
     needs_pallas = layered_group != 1 or (
         early_stop and (es_mode != "freeze" or es_check_every != 1)
     )
-    # traced ms weights can't bake into the (static-arg) pallas kernel;
-    # static tuples can — only the former block pallas selection
-    w_elig = weights if weights is not None else ms_w
+    # traced ms weights can't bake into the (static-arg) pallas kernel
+    # (static tuples can); edge-flavor weight pytrees ride along as VMEM
+    # operands but only under the flooding schedule
+    w_elig = ms_w if ms_w is not None else weights
+    w_sched_ok = weights is None or schedule == "flooding"
     if backend == "auto":
-        if qc is not None and (
+        if qc is not None and w_sched_ok and (
             needs_pallas
             and _pallas_eligible(method, early_stop, msg_qbits, w_elig,
                                  output)
@@ -501,8 +519,9 @@ def bp_decode(
                                 output):
             raise ValueError(
                 "pallas backend supports method in (min-sum, sum-product), "
-                "no traced weights (freeze_minsum_weights → static tuple "
-                "alpha/beta instead), output in (hard, hard_iters, "
+                "weights either edge-flavor pytrees (without early stop) "
+                "or frozen static tuple alpha/beta "
+                "(freeze_minsum_weights), output in (hard, hard_iters, "
                 "posterior, soft)"
             )
         from ldpc_sims_tpu.kernels.minsum_qc import (
@@ -534,13 +553,14 @@ def bp_decode(
             interpret=interp,
         )
         if early_stop and es_mode == "requeue":
+            # weights is always None here (early_stop excludes it above)
             out = bp_qc_requeue(
                 llr, qc, probe_iters=es_probe_iters,
                 es_check_every=es_check_every, **kw,
             )
         else:
             out = bp_qc_pallas(
-                llr, qc, early_stop=early_stop,
+                llr, qc, early_stop=early_stop, weights=weights,
                 es_check_every=es_check_every if early_stop else 1, **kw,
             )
         if output == "hard_iters":

@@ -57,6 +57,60 @@ def test_pallas_rejects_bad_shapes():
         minsum_qc_pallas(jnp.zeros((128, 10)), w.qc, interpret=True)
 
 
+def test_pallas_edge_weights_match_roll(rng):
+    """Per-edge neural-BP weights on the Pallas fast path (VERDICT r3
+    #2): random edge-flavor weights must reproduce the roll backend's
+    weighted decode (the reference's trainable-VC semantics,
+    bp/bp_vc.py:16-32), and all-ones weights must equal the plain
+    kernel exactly."""
+    import jax
+
+    from ldpc_sims_tpu.ops.bp import init_neural_bp_weights
+
+    w = get_code("wifi648")
+    llr = jnp.asarray(rng.normal(0, 2, (128, w.n)), jnp.float32)
+    it = 4
+    ones = init_neural_bp_weights(w, it, flavor="edge")
+    wts = jax.tree.map(
+        lambda x: x
+        * jnp.asarray(rng.uniform(0.7, 1.3, x.shape), jnp.float32),
+        ones,
+    )
+    p_roll = np.array(
+        bp_decode(llr, w, iterations=it, method="min-sum", weights=wts,
+                  backend="roll", output="posterior")
+    )
+    p_pal = np.array(
+        bp_decode(llr, w, iterations=it, method="min-sum", weights=wts,
+                  backend="pallas", output="posterior")
+    )
+    np.testing.assert_allclose(p_pal, p_roll, rtol=1e-4, atol=1e-4)
+    # identity weights == plain kernel, bit for bit
+    p_plain = np.array(
+        bp_decode(llr, w, iterations=it, method="min-sum",
+                  backend="pallas", output="posterior")
+    )
+    p_ones = np.array(
+        bp_decode(llr, w, iterations=it, method="min-sum", weights=ones,
+                  backend="pallas", output="posterior")
+    )
+    np.testing.assert_array_equal(p_ones, p_plain)
+
+
+def test_pallas_edge_weights_rejections():
+    from ldpc_sims_tpu.ops.bp import init_neural_bp_weights
+
+    w = get_code("wifi648")
+    llr = jnp.zeros((128, w.n), jnp.float32)
+    wts = init_neural_bp_weights(w, 3, flavor="edge")
+    with pytest.raises(ValueError, match="flooding"):
+        bp_decode(llr, w, iterations=3, weights=wts, backend="pallas",
+                  schedule="layered")
+    with pytest.raises(ValueError, match="early stop|early_stop"):
+        bp_decode(llr, w, iterations=3, weights=wts, backend="pallas",
+                  early_stop=True)
+
+
 def test_native_peg_matches_invariants():
     native = pytest.importorskip("ldpc_sims_tpu.native")
     if not native.native_available():
