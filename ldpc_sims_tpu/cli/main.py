@@ -109,9 +109,34 @@ def _snr_grid(args, code) -> tuple[float, ...]:
 
 def _parse_ab(spec: str) -> float | tuple[float, ...]:
     """'0.8' → 0.8; '0.8,0.9,1.0' → per-iteration tuple (a frozen
-    weighted-min-sum schedule, see ``bp.freeze_minsum_weights``)."""
-    parts = [float(x) for x in str(spec).split(",") if x != ""]
-    return parts[0] if len(parts) == 1 else tuple(parts)
+    weighted-min-sum schedule, see ``bp.freeze_minsum_weights``).
+
+    Used as an argparse ``type=`` so malformed specs fail at parse time
+    with the flag named, instead of as a confusing downstream error
+    (length-vs-iters mismatches are still caught by bp_decode, which
+    knows ``iterations``).
+    """
+    import argparse
+
+    parts = [x for x in str(spec).split(",") if x.strip() != ""]
+    if not parts:
+        raise argparse.ArgumentTypeError(
+            f"empty alpha/beta spec {spec!r}; pass a float or a "
+            "comma-separated per-iteration list"
+        )
+    try:
+        vals = [float(x) for x in parts]
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"bad alpha/beta spec {spec!r}; pass a float or a "
+            "comma-separated per-iteration list like '0.8,0.9,1.0'"
+        ) from None
+    return vals[0] if len(vals) == 1 else tuple(vals)
+
+
+def _norm_ab(v) -> float | tuple[float, ...]:
+    """Idempotent _parse_ab (argparse may already have applied it)."""
+    return _parse_ab(v) if isinstance(v, str) else v
 
 
 def _link_cfg_from_args(args, **over) -> LinkConfig:
@@ -121,8 +146,10 @@ def _link_cfg_from_args(args, **over) -> LinkConfig:
         bp_iterations=args.iters,
         bp_method=args.method,
         bp_schedule=getattr(args, "schedule", "flooding"),
-        alpha=_parse_ab(getattr(args, "bp_alpha", "1.0")),
-        beta=_parse_ab(getattr(args, "bp_beta", "0.0")),
+        # argparse already applied _parse_ab (type=); subcommands without
+        # the flag fall back to the unparsed default string
+        alpha=_norm_ab(getattr(args, "bp_alpha", "1.0")),
+        beta=_norm_ab(getattr(args, "bp_beta", "0.0")),
         clamp=args.clamp if args.clamp > 0 else None,
         qbits=args.qbits if args.qbits > 0 else None,
         clip_ratio=10 ** (args.clipdb / 10.0),
@@ -564,10 +591,10 @@ def _add_common(sp: argparse.ArgumentParser) -> None:
     sp.add_argument("--iters", type=int, default=3)
     sp.add_argument("--method", default="sum-product-ref",
                     choices=["min-sum", "sum-product", "sum-product-ref"])
-    sp.add_argument("--bp-alpha", default="1.0",
+    sp.add_argument("--bp-alpha", default="1.0", type=_parse_ab,
                     help="min-sum normalization; a comma list is a "
                          "per-iteration schedule (train-minsum output)")
-    sp.add_argument("--bp-beta", default="0.0",
+    sp.add_argument("--bp-beta", default="0.0", type=_parse_ab,
                     help="min-sum offset; comma list = per-iteration")
     sp.add_argument("--schedule", default="flooding",
                     choices=["flooding", "layered"],

@@ -24,6 +24,7 @@ from ldpc_sims_tpu.codes.library import LdpcCode
 from ldpc_sims_tpu.ops import phy
 from ldpc_sims_tpu.ops.bp import bp_decode
 from ldpc_sims_tpu.ops.chain import LinkConfig, link_step
+from ldpc_sims_tpu.utils import stable_fold_in
 
 __all__ = ["quantization_noise_study", "evaluate_joint"]
 
@@ -64,7 +65,7 @@ def quantization_noise_study(
                     legacy_clip=legacy_clip,
                 )
                 out = link_step(
-                    jax.random.fold_in(key, hash((snrdb, qb, cr)) % 2**31),
+                    stable_fold_in(key, snrdb, qb, cr),
                     jnp.asarray(snrdb, jnp.float32), code, cfg,
                     num_codewords, return_arrays=True,
                 )

@@ -22,6 +22,7 @@ strategy (SURVEY.md §4.3).
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Any, Callable
 
 import jax
@@ -94,7 +95,18 @@ def evaluate_sweep(
     sym_per_cw = code.n // BITS_PER_SYMBOL[link_cfg.modulation]
     g = math.lcm(sym_per_cw, link_cfg.ofdm_size) // sym_per_cw
     if eval_cfg.num_codewords % (n_dev * g):
-        n_dev = 1  # fallback: single shard (tiny eval batches in tests)
+        # fallback: single shard (tiny eval batches in tests). Warn —
+        # a mis-sized batch silently de-parallelizing an 8-device eval
+        # is the kind of perf bug nobody notices (VERDICT r3 weak #4).
+        if n_dev > 1:
+            warnings.warn(
+                f"num_codewords={eval_cfg.num_codewords} does not tile "
+                f"{n_dev} devices x OFDM group {g}; evaluating on a "
+                "single shard — pad the batch to a multiple of "
+                f"{n_dev * g} to use the mesh",
+                stacklevel=2,
+            )
+        n_dev = 1
     per_dev = eval_cfg.num_codewords // n_dev
     shard = batch_sharding(mesh)
 

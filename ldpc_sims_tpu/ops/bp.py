@@ -448,6 +448,12 @@ def bp_decode(
             "alpha": weights.pop("ms_alpha", jnp.ones((it_,))),
             "beta": weights.pop("ms_beta", jnp.zeros((it_,))),
         }
+        for nm in ("alpha", "beta"):
+            if ms_w[nm].shape != (it_,):
+                raise ValueError(
+                    f"ms_{nm} must have shape ({it_},) to match "
+                    f"iterations={it_}, got {ms_w[nm].shape}"
+                )
         if not weights:
             weights = None
         if isinstance(alpha, tuple) or isinstance(beta, tuple):

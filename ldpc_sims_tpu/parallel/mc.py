@@ -60,7 +60,11 @@ class SweepConfig:
     # chunking realizes the kernel's device-resident rate (measured
     # 2026-08-20 on (1944,972): layered-10 48 ms/step synced vs 21 ms
     # in a 32-step chunk). Stopping-rule granularity coarsens to the
-    # chunk — keep 1 for tiny exploratory runs.
+    # chunk (target_frame_errors/max_info_bits can overshoot by up to
+    # one chunk), and the per-step PRNG stream depends on the chunk
+    # size — the value is recorded in the sweep manifest so resumes
+    # under a different setting are flagged. Keep 1 for tiny
+    # exploratory runs.
     steps_per_sync: int = 1
 
 
@@ -191,6 +195,19 @@ def run_sweep(
     if manifest_path and os.path.exists(manifest_path):
         with open(manifest_path) as f:
             state = json.load(f)
+        prev = state.get("steps_per_sync")
+        if prev is not None and prev != sweep.steps_per_sync and log:
+            # the per-step PRNG stream is keyed on the accumulated step
+            # count, so changing the chunk size mid-manifest changes
+            # which keys the remaining steps see — statistically fine
+            # (fresh independent noise) but not replayable
+            log(
+                f"manifest was written with steps_per_sync={prev}, "
+                f"resuming with {sweep.steps_per_sync}: results stay "
+                "unbiased but the PRNG stream is not reproducible "
+                "across the boundary"
+            )
+    state["steps_per_sync"] = sweep.steps_per_sync
 
     def save():
         if manifest_path:

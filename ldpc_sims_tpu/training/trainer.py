@@ -429,8 +429,9 @@ def train_minsum_weights(
     learned decoding at the full fast-path throughput.
 
     Training data is generated on device per step: all-zero-codeword
-    BPSK over AWGN at per-codeword uniform SNR in ``snr_db`` (min-sum
-    with α, β ≥ 0 is symmetric under codeword sign flips, so the
+    BPSK over AWGN at per-codeword uniform SNR in ``snr_db`` (the
+    weighted min-sum update is odd-symmetric in the messages for ANY
+    α, β, so decoding is invariant under codeword sign flips and the
     all-zero codeword gives unbiased BER — the standard neural-BP
     training setup, cf. Nachmani et al. 2016). No host data ever moves.
 

@@ -10,4 +10,5 @@ from ldpc_sims_tpu.utils.metrics import (  # noqa: F401
     PhaseTimer,
     enable_compilation_cache,
     profile_trace,
+    stable_fold_in,
 )

@@ -23,7 +23,23 @@ __all__ = [
     "PhaseTimer",
     "profile_trace",
     "enable_compilation_cache",
+    "stable_fold_in",
 ]
+
+
+def stable_fold_in(key, *parts) -> Any:
+    """``jax.random.fold_in`` keyed on a process-stable hash of ``parts``.
+
+    Python's ``hash()`` is PYTHONHASHSEED-randomized for str-bearing
+    values, so deriving PRNG keys from it breaks cross-process
+    determinism (SURVEY §5.2). This folds a crc32 of the repr of the
+    parts instead — stable across processes and machines for the
+    numeric/str tags the drivers use.
+    """
+    import zlib
+
+    tag = "|".join(repr(p) for p in parts)
+    return jax.random.fold_in(key, zlib.crc32(tag.encode()) & 0x7FFFFFFF)
 
 
 def enable_compilation_cache(path: str | None = None) -> str:

