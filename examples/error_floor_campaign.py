@@ -60,6 +60,11 @@ SNRS = tuple(
     float(x) for x in os.environ.get("EF_SNRS", "2.5,3.0,3.5").split(",")
 )
 TARGET_BITS = float(os.environ.get("EF_TARGET_BITS", "1e11"))
+# optional comma list of schedule names to run (control always runs) —
+# for re-running the campaign on retrained schedules only
+ONLY = tuple(
+    s for s in os.environ.get("EF_ONLY", "").split(",") if s
+)
 MAX_ERRS = float(os.environ.get("EF_MAX_ERRS", "2e6"))
 BATCH = int(os.environ.get("EF_BATCH", "32768"))
 CHUNK_STEPS = int(os.environ.get("EF_CHUNK_STEPS", "32"))
@@ -173,6 +178,8 @@ def main() -> None:
 
     for pidx, snr_db in enumerate(SNRS):
         for name, schedule, iters, alpha, beta in schedules:
+            if ONLY and name != "flooding-20" and name not in ONLY:
+                continue
             if (name, snr_db) in done:
                 log(f"skip {name} @{snr_db} dB (resumed)")
                 continue

@@ -36,7 +36,16 @@ from ldpc_sims_tpu.training import TrainConfig, train_minsum_weights
 from ldpc_sims_tpu.utils import enable_compilation_cache
 
 KS = tuple(int(x) for x in os.environ.get("MS_KS", "6,8").split(","))
-TRAIN_SNR = (1.25, 2.5)
+# Training SNR range. The round-3 default (1.25, 2.5) produced
+# schedules that pass the waterfall guard but FLOOR at 3.0-3.5 dB
+# (docs/artifacts/20260821-014434_error_floor.json) — widen the range
+# so training sees the high-SNR regime whose rare trapping-set frames
+# the short schedules were sacrificing. Retrained entries overwrite the
+# registry WITHOUT a floor_ok flag, so bench.py will not promote them
+# until examples/error_floor_campaign.py clears them.
+TRAIN_SNR = tuple(
+    float(x) for x in os.environ.get("MS_TRAIN_SNR", "1.25,3.5").split(",")
+)
 GUARD_SNRS = (1.75, 2.25)
 BATCH = int(os.environ.get("MS_EVAL_BATCH", 32768))
 STEPS_PER_POINT = int(os.environ.get("MS_EVAL_STEPS", 31))
