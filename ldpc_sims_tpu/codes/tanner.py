@@ -179,6 +179,27 @@ class TannerGraph:
         M_fin = L_exp.T.copy()
         return {"W_v": W_v, "L_exp": L_exp, "M_fin": M_fin}
 
+    @functools.cached_property
+    def factored_routing(self) -> dict[str, np.ndarray]:
+        """Rectangular routing for large non-QC codes (no Ec×Ec matrix).
+
+        ``W_v`` factors exactly as ``L_exp @ M_fin − I`` on valid slots,
+        so one BP variable update becomes two RECTANGULAR one-hot
+        matmuls — ``v2c = L_exp @ (M_fin @ x + lv) − x`` — at
+        O(n·Ec·B) MXU work and O(n·Ec) constant memory instead of the
+        dense backend's O(Ec²). This is the TPU path for arbitrary
+        (alist/PEG) codes: per-edge gathers chained through the decode
+        loop crash the XLA TPU fusion pass (see ops/bp.py module docs),
+        and one-hot matmuls are the idiomatic MXU replacement.
+        """
+        Ec = self.n_checks * self.dc
+        var_of_slot = np.full(Ec, -1, dtype=np.int64)
+        var_of_slot[self.cslot_of_edge] = self.edge_var
+        valid = var_of_slot >= 0
+        L_exp = np.zeros((Ec, self.n_vars), dtype=np.float32)
+        L_exp[valid, var_of_slot[valid]] = 1.0
+        return {"L_exp": L_exp, "M_fin": L_exp.T.copy()}
+
     # -- dense reconstructions (tests / debugging only) ------------------
 
     def dense_masks(self) -> dict[str, np.ndarray]:

@@ -67,6 +67,32 @@ __all__ = [
 _BIG = 1e30  # inert magnitude for padding slots
 _REF_PROD_EPS = 1e-7  # product clamp of the reference CV (bp/bp_cv.py:44)
 _DENSE_MAX_PADDED_EDGES = 1024  # beyond this the E² matmuls stop being free
+# factored dense routing (L_exp @ (M_fin @ x + lv) − x): cap on n·Ec
+# elements per rectangular routing matrix (256 MB f32) — covers every
+# named code and any plausible alist import; beyond it, decode on CPU
+# (gather backend)
+_FACTORED_MAX_ELEMS = 1 << 26
+
+
+def _dot_split(A: jnp.ndarray, x: jnp.ndarray, dtype) -> jnp.ndarray:
+    """One-hot routing matmul at ~f32 accuracy in two bf16 MXU passes.
+
+    Matmul precision matters here: XLA's DEFAULT f32 dot runs ONE bf16
+    MXU pass (~1e-2 relative error on the routed messages — measured,
+    and it shifts hard decode bits), while exact HIGHEST costs six
+    passes. Because the 0/1 routing matrix is bf16-exact, splitting the
+    message operand as ``x = hi + lo`` with ``hi = bf16(x)`` makes each
+    single-pass product exact in ``A`` and ``hi``; only ``lo``'s own
+    bf16 rounding survives, leaving ~2^-18 relative error — below
+    HIGH's three-pass error at two thirds of its cost. This is the
+    throughput lever of the factored large-code TPU path.
+    """
+    hi = x.astype(jnp.bfloat16).astype(dtype)
+    lo = x - hi
+    return (
+        jnp.dot(A, hi, preferred_element_type=dtype)
+        + jnp.dot(A, lo, preferred_element_type=dtype)
+    )
 
 
 def _take0(flat: jnp.ndarray, idx: np.ndarray, fill: float) -> jnp.ndarray:
@@ -504,7 +530,20 @@ def bp_decode(
         elif g.n_checks * g.dc <= _DENSE_MAX_PADDED_EDGES:
             backend = "dense"
         else:
-            backend = "gather"
+            # large non-QC codes: the gather backend crashes the XLA
+            # TPU fusion pass (module docs), so on TPU route through
+            # the factored dense path (rectangular MXU matmuls)
+            try:
+                on_tpu = jax.default_backend() in ("tpu", "axon")
+            except Exception:
+                on_tpu = False
+            if (
+                on_tpu
+                and g.n_vars * g.n_checks * g.dc <= _FACTORED_MAX_ELEMS
+            ):
+                backend = "dense"
+            else:
+                backend = "gather"
     if layered_group != 1 and backend != "pallas":
         raise ValueError("layered_group is pallas-only; pass backend='pallas'")
     if early_stop and (es_mode != "freeze" or es_check_every != 1):
@@ -615,8 +654,19 @@ def bp_decode(
         weights = jax.tree.map(lambda x: jnp.asarray(x, dtype), weights)
 
     if backend == "dense":
-        routing = g.dense_routing
-        W_v = jnp.asarray(routing["W_v"], dtype)
+        # small codes: one Ec×Ec matmul (W_v). Large codes: the exact
+        # factorization W_v = L_exp @ M_fin − I on valid slots — two
+        # rectangular one-hot matmuls, O(n·Ec) constants instead of
+        # O(Ec²); the TPU path for arbitrary alist/PEG codes.
+        factored = Ec > _DENSE_MAX_PADDED_EDGES
+        if factored and n * Ec > _FACTORED_MAX_ELEMS:
+            raise ValueError(
+                f"code too large for factored dense routing "
+                f"(n·Ec = {n * Ec} > {_FACTORED_MAX_ELEMS}); decode on "
+                "CPU with backend='gather'"
+            )
+        routing = g.factored_routing if factored else g.dense_routing
+        W_v = None if factored else jnp.asarray(routing["W_v"], dtype)
         L_exp = jnp.asarray(routing["L_exp"], dtype)
         M_fin = jnp.asarray(routing["M_fin"], dtype)
         # variable-space weight slots → check-space edge order (one static
@@ -645,10 +695,18 @@ def bp_decode(
                 lv = weights["w_llr"][it][:, None] * Lv
             else:
                 lv = Lv
-            v2c = (
-                jnp.dot(W_v, x, preferred_element_type=dtype)
-                + jnp.dot(L_exp, lv, preferred_element_type=dtype)
-            ).reshape(m, dc, B)
+            if factored:
+                tot = _dot_split(M_fin, x, dtype) + lv
+                v2c = (_dot_split(L_exp, tot, dtype) - x).reshape(
+                    m, dc, B
+                )
+            else:
+                v2c = (
+                    jnp.dot(W_v, x, preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST)
+                    + jnp.dot(L_exp, lv, preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST)
+                ).reshape(m, dc, B)
             return jnp.where(c_mask_b, v2c, _BIG)
 
         def posterior(c2v: jnp.ndarray) -> jnp.ndarray:
@@ -658,7 +716,8 @@ def bp_decode(
                 lv = weights["w_llr_final"][:, None] * Lv
             else:
                 lv = Lv
-            return lv + jnp.dot(M_fin, x, preferred_element_type=dtype)
+            return lv + jnp.dot(M_fin, x, preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST)
 
     else:  # gather backend
         to_var = jnp.asarray(g.to_var_space)

@@ -35,6 +35,44 @@ def test_dense_equals_gather(method, rng):
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
+def test_factored_dense_equals_gather(rng):
+    """Large non-QC codes ride the factored dense path (VERDICT r3 #4):
+    ``v2c = L_exp @ (M_fin @ x + lv) − x`` — two rectangular one-hot
+    MXU matmuls, exactly W_v on valid slots. Split-bf16 routing keeps
+    ~1e-5 relative message accuracy (see ops/bp._dot_split), so hard
+    bits match the gather backend."""
+    from ldpc_sims_tpu.codes import make_regular_ldpc
+
+    code = make_regular_ldpc(512, 256, 3, seed=1)
+    g = code.graph
+    assert g.n_checks * g.dc > 1024  # above the W_v cap -> factored
+    llr = jnp.asarray(rng.normal(0, 2, (16, g.n_vars)), jnp.float32)
+    for method in ("min-sum", "sum-product"):
+        kw = dict(iterations=6, method=method, output="posterior")
+        a = np.array(bp_decode(llr, code, backend="dense", **kw))
+        b = np.array(bp_decode(llr, code, backend="gather", **kw))
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+        np.testing.assert_array_equal(a < 0, b < 0)
+
+
+def test_factored_dense_alist_roundtrip(tmp_path, rng):
+    """An alist-loaded large code decodes identically through the
+    factored dense path (the reference's arbitrary-H capability,
+    bp/masking.py:12)."""
+    from ldpc_sims_tpu.codes import make_regular_ldpc
+    from ldpc_sims_tpu.codes.alist import load_alist, save_alist
+
+    code = make_regular_ldpc(512, 256, 3, seed=1)
+    p = tmp_path / "peg.alist"
+    save_alist(str(p), code)
+    loaded = load_alist(str(p))
+    llr = jnp.asarray(rng.normal(0, 2, (8, code.n)), jnp.float32)
+    kw = dict(iterations=5, method="min-sum", output="posterior")
+    a = np.array(bp_decode(llr, code, backend="dense", **kw))
+    b = np.array(bp_decode(llr, loaded, backend="dense", **kw))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_pallas_backend_dispatch(wifi, rng):
     """bp_decode(backend='pallas'): pad-to-tile, posterior/soft/hard
     outputs, agreement with the roll backend (interpret mode on CPU)."""
