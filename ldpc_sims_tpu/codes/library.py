@@ -227,7 +227,14 @@ def make_regular_ldpc(
 
 def get_code(name: str) -> LdpcCode:
     """Named code registry used by configs and the CLI."""
-    from ldpc_sims_tpu.codes import wifi
+    from ldpc_sims_tpu.codes import qc_construct, wifi
+
+    def qc(z, mb, nm):
+        # girth-aware QC construction, 802.11n family geometry (see
+        # codes/qc_construct.py provenance note: these are OUR
+        # deterministic constructions, not the Annex R tables)
+        return lambda: qc_construct.make_qc_code(z, mb, 24, seed=7,
+                                                 name=nm)
 
     registry = {
         "ref6432": reference_6432,
@@ -236,6 +243,13 @@ def get_code(name: str) -> LdpcCode:
         "wifi648": lambda: wifi.wifi_80211n(648, "1/2"),
         "wifi1296": lambda: wifi.wifi_80211n(1296, "1/2"),
         "wifi1944": lambda: wifi.wifi_80211n(1944, "1/2"),
+        # higher rates on the QC fast path (rate = (24−mb)/24)
+        "qc648_r23": qc(27, 8, "qc648_r23"),
+        "qc648_r34": qc(27, 6, "qc648_r34"),
+        "qc648_r56": qc(27, 4, "qc648_r56"),
+        "qc1944_r23": qc(81, 8, "qc1944_r23"),
+        "qc1944_r34": qc(81, 6, "qc1944_r34"),
+        "qc1944_r56": qc(81, 4, "qc1944_r56"),
     }
     if name not in registry:
         raise KeyError(f"unknown code {name!r}; have {sorted(registry)}")

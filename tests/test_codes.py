@@ -94,3 +94,47 @@ def test_alist_roundtrip():
 
 def test_repr_compact():
     assert "n=64" in repr(reference_6432())
+
+
+@pytest.mark.parametrize("name,rate", [
+    ("qc648_r23", 2 / 3), ("qc648_r34", 3 / 4), ("qc648_r56", 5 / 6),
+])
+def test_qc_construct_high_rate(name, rate, rng):
+    """Girth-aware QC construction (codes/qc_construct.py): encodable,
+    full-rank, 4-cycle-free, correct geometry, decodes on the roll
+    backend. NOT the 802.11n Annex R tables (see provenance note)."""
+    import jax.numpy as jnp
+
+    from ldpc_sims_tpu.ops.bp import bp_decode
+
+    c = get_code(name)
+    assert c.qc is not None and abs(c.rate - rate) < 1e-9
+    u = rng.integers(0, 2, (8, c.k)).astype(np.uint8)
+    cw = c.encode_np(u)
+    assert not np.any((c.H @ cw.T) % 2)
+    # girth >= 6: no two checks share two variables
+    HHt = (c.H.astype(np.int64) @ c.H.T.astype(np.int64))
+    np.fill_diagonal(HHt, 0)
+    assert HHt.max() <= 1
+    # decodes: moderate-noise codewords come back clean via QC rolls
+    llr = jnp.asarray(
+        (2.0 * cw - 1.0) * 8.0 + rng.normal(0, 1.0, cw.shape), jnp.float32
+    )
+    bits = np.array(
+        bp_decode(llr, c, iterations=10, method="min-sum", backend="roll")
+    )
+    assert np.array_equal(bits, cw)
+
+
+def test_qc_base_file_loader(tmp_path):
+    """load_qc_base: drop-in point for conformant standard shift tables."""
+    from ldpc_sims_tpu.codes.qc_construct import load_qc_base
+
+    c = get_code("qc648_r56")
+    lines = ["27"] + [
+        " ".join(str(s) for s in row) for row in c.qc.base
+    ]
+    p = tmp_path / "table.qc"
+    p.write_text("# comment\n" + "\n".join(lines) + "\n")
+    c2 = load_qc_base(str(p), name="reload")
+    np.testing.assert_array_equal(c.H, c2.H)
