@@ -335,61 +335,82 @@ def main() -> None:
     )
 
     if not os.environ.get("BENCH_SKIP_ES"):
-        # adaptive decode at the operating point: probe+requeue early
-        # stop (VERDICT r2 #1 — the single-pass freeze kernel was 1.8x
-        # SLOWER than fixed-20; the requeue driver approaches
-        # mean-iterations scaling)
+        # adaptive decode at operating points: es_mode='probe' — a FIXED
+        # fast probe (optionally a trained schedule) + one MXU syndrome
+        # + compact packed requeue of stragglers (VERDICT r3 #5; see
+        # kernels.minsum_qc.bp_qc_probe_requeue and docs/artifacts/
+        # 20260821_es_probe_note.md). Wins above ~3 dB; at 2.5 dB the
+        # inter-pass pipeline breaks (~6-9 ms/step at batch 32k) still
+        # leave it ~10% behind the best fixed schedule. The old freeze
+        # kernel stays as the reference point.
         try:
             es_batch = min(batch, 32768)
+            reg = {}
+            if os.path.exists(reg_path):
+                reg = json.load(open(reg_path)).get(
+                    "wifi1944", {}
+                ).get("layered", {})
 
-            def es_step(schedule: str, mode: str, probe: int, k: int):
+            def es_step(snr_db: float, pipe_s: int = 8, **kw):
                 @jax.jit
                 def f(key):
-                    snr = 10.0 ** (ES_SNR_DB / 10.0)
-                    sigma = (1.0 / snr) ** 0.5
-                    r = 1.0 + sigma * jax.random.normal(
-                        key, (es_batch, code.n), jnp.float32
-                    )
-                    llr = -2.0 * r / (sigma * sigma)
-                    bits, iters = bp_decode(
-                        llr, code, iterations=ITERS_FLOOD,
-                        method="min-sum", schedule=schedule,
-                        early_stop=True, es_mode=mode,
-                        es_check_every=k, es_probe_iters=probe,
-                        output="hard_iters",
-                    )
-                    return jnp.mean(iters.astype(jnp.float32))
+                    def body(i, acc):
+                        k = jax.random.fold_in(key, i)
+                        snr = 10.0 ** (snr_db / 10.0)
+                        sigma = (1.0 / snr) ** 0.5
+                        r = 1.0 + sigma * jax.random.normal(
+                            k, (es_batch, code.n), jnp.float32
+                        )
+                        llr = -2.0 * r / (sigma * sigma)
+                        bits = bp_decode(
+                            llr, code, iterations=ITERS_FLOOD,
+                            method="min-sum", schedule="layered",
+                            early_stop=True, output="hard", **kw,
+                        )
+                        return acc + jnp.sum(bits.astype(jnp.int32))
 
-                return f
+                    return jax.lax.fori_loop(0, pipe_s, body, jnp.int32(0))
 
-            # tuned on-chip 2026-08-20 (see docs/artifacts/
-            # 20260820_es_tuning.json): at the 2.5 dB AWGN point the
-            # freeze kernel with K=2 checks wins; requeue's probe cannot
-            # undercut the per-tile max on these fat-tailed distributions
-            # (probe ≈ tile-max), so it is kept as the reference point
-            for tag, schedule, mode, probe, k in (
-                ("es-freeze", "flooding", "freeze", 4, 2),
-                ("es-freeze-layered", "layered", "freeze", 4, 2),
-                ("es-requeue-layered", "layered", "requeue", 6, 1),
-            ):
-                step = es_step(schedule, mode, probe, k)
+                return f, pipe_s
+
+            configs = [
+                ("es-freeze-layered", 2.5,
+                 dict(es_mode="freeze", es_check_every=2)),
+            ]
+            for snr in (2.5, 3.5):
+                for kstr in ("5", "6"):
+                    if kstr in reg:
+                        configs.append((
+                            f"es-probe-trained{kstr}@{snr}", snr,
+                            dict(es_mode="probe",
+                                 es_probe_iters=int(kstr),
+                                 es_probe_alpha=tuple(
+                                     reg[kstr]["alpha"]),
+                                 es_probe_beta=tuple(reg[kstr]["beta"]),
+                                 backend="pallas"),
+                        ))
+                configs.append((
+                    f"es-probe-plain4@{snr}", snr,
+                    dict(es_mode="probe", es_probe_iters=4,
+                         backend="pallas"),
+                ))
+            for tag, snr, kw in configs:
+                step, pipe_s = es_step(snr, **kw)
                 t0 = time.perf_counter()
-                mean_it = float(step(key))
+                float(step(key))
                 log(f"{tag}: compile+first {time.perf_counter() - t0:.1f}s")
                 ts = []
-                for i in range(max(steps // 2, 3)):
+                for i in range(3):
                     t0 = time.perf_counter()
                     float(step(jax.random.fold_in(key, 2000 + i)))
                     ts.append(time.perf_counter() - t0)
-                dt = sorted(ts)[len(ts) // 2]
+                dt = sorted(ts)[len(ts) // 2] / pipe_s
                 es_rate = es_batch * code.k / dt
                 log(
-                    f"{tag} @{ES_SNR_DB} dB: mean iterations "
-                    f"{mean_it:.2f}/{ITERS_FLOOD}, {es_rate:.3e} info "
-                    f"bits/s ({dt * 1e3:.2f} ms/step)"
+                    f"{tag} @{snr} dB: {es_rate:.3e} info bits/s "
+                    f"({dt * 1e3:.2f} ms/step, pipeline x{pipe_s})"
                 )
                 art[f"{tag}_bits_per_s"] = es_rate
-                art[f"{tag}_mean_iters"] = mean_it
         except Exception as e:  # secondary only — never fail the bench
             log(f"early-stop benchmark skipped: {e}")
 

@@ -74,12 +74,14 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def make_chunk(code, schedule: str, iters: int, alpha, beta):
+def make_chunk(code, decode_kw: dict):
     """CHUNK_STEPS paired decode steps inside one jit.
 
     Returns (bit_errs, frame_errs) int32 for the chunk. Keys are derived
     from (point key, step index) only — schedule-independent, so every
-    schedule sees identical noise (paired comparison).
+    schedule sees identical noise (paired comparison). ``decode_kw``
+    goes to :func:`bp_decode` verbatim (schedules, trained alpha/beta,
+    adaptive es modes — anything the decoder exposes).
     """
 
     @jax.jit
@@ -95,8 +97,7 @@ def make_chunk(code, schedule: str, iters: int, alpha, beta):
             )
             llr = -2.0 * r / (sigma * sigma)
             bits = bp_decode(
-                llr, code, iterations=iters, method="min-sum",
-                schedule=schedule, alpha=alpha, beta=beta, output="hard",
+                llr, code, method="min-sum", output="hard", **decode_kw
             )
             errs = jnp.sum(bits.astype(jnp.int32), axis=1)
             return be + jnp.sum(errs), fe + jnp.sum(
@@ -110,8 +111,8 @@ def make_chunk(code, schedule: str, iters: int, alpha, beta):
     return chunk
 
 
-def run_point(code, name, schedule, iters, alpha, beta, snr_db, pidx):
-    chunk = make_chunk(code, schedule, iters, alpha, beta)
+def run_point(code, name, decode_kw, snr_db, pidx):
+    chunk = make_chunk(code, decode_kw)
     point_key = jax.random.fold_in(jax.random.key(20260821), pidx)
     info_per_chunk = BATCH * code.k * CHUNK_STEPS
     coded_per_chunk = BATCH * code.n * CHUNK_STEPS
@@ -149,8 +150,8 @@ def main() -> None:
     log(f"device: {jax.devices()[0]}, code: {code}, batch={BATCH}")
 
     schedules = [
-        ("flooding-20", "flooding", 20, 1.0, 0.0),
-        ("layered-10", "layered", 10, 1.0, 0.0),
+        ("flooding-20", dict(iterations=20, schedule="flooding")),
+        ("layered-10", dict(iterations=10, schedule="layered")),
     ]
     reg = {}
     if os.path.exists(REG_PATH):
@@ -158,12 +159,30 @@ def main() -> None:
         for kstr, ent in sorted(
             reg.get("wifi1944", {}).get("layered", {}).items(), key=lambda kv: int(kv[0])
         ):
+            al = tuple(float(x) for x in ent["alpha"])
+            be = tuple(float(x) for x in ent["beta"])
             if ent.get("parity_ok"):
                 schedules.append((
-                    f"trained-layered-{kstr}", "layered", int(kstr),
-                    tuple(float(x) for x in ent["alpha"]),
-                    tuple(float(x) for x in ent["beta"]),
+                    f"trained-layered-{kstr}",
+                    dict(iterations=int(kstr), schedule="layered",
+                         alpha=al, beta=be),
                 ))
+            # adaptive probe composites: probe schedule K, then packed
+            # full-budget layered-20 requeue of syndrome stragglers —
+            # final BER = layered-20 grade + probe's undetected errors;
+            # this campaign is what validates that claim
+            schedules.append((
+                f"probe-trained{kstr}-20",
+                dict(iterations=20, schedule="layered", early_stop=True,
+                     es_mode="probe", es_probe_iters=int(kstr),
+                     es_probe_alpha=al, es_probe_beta=be,
+                     backend="pallas"),
+            ))
+    schedules.append((
+        "probe-plain4-20",
+        dict(iterations=20, schedule="layered", early_stop=True,
+             es_mode="probe", es_probe_iters=4, backend="pallas"),
+    ))
 
     resume = os.environ.get("EF_RESUME")
     results = []
@@ -175,17 +194,32 @@ def main() -> None:
     else:
         stamp = time.strftime("%Y%m%d-%H%M%S")
         out_path = os.path.join(ART_DIR, f"{stamp}_error_floor.json")
+    # EF_CTRL_FROM=<artifact>: import the paired control points from an
+    # earlier campaign run instead of re-simulating them — valid because
+    # point keys depend only on (base key, point index), never on the
+    # schedule, so pairing is preserved across runs with the same
+    # EF_SNRS/EF_BATCH
+    ctrl_from = os.environ.get("EF_CTRL_FROM")
+    if ctrl_from:
+        prev = json.load(open(ctrl_from))
+        assert prev["batch"] == BATCH, "control import needs same batch"
+        for r in prev["points"]:
+            if r["schedule"] == "flooding-20" and (
+                ("flooding-20", r["snr_db"]) not in done
+            ):
+                results.append(r)
+                done.add(("flooding-20", r["snr_db"]))
+                log(f"imported control @{r['snr_db']} dB from {ctrl_from}")
 
     for pidx, snr_db in enumerate(SNRS):
-        for name, schedule, iters, alpha, beta in schedules:
+        for name, decode_kw in schedules:
             if ONLY and name != "flooding-20" and name not in ONLY:
                 continue
             if (name, snr_db) in done:
                 log(f"skip {name} @{snr_db} dB (resumed)")
                 continue
             results.append(
-                run_point(code, name, schedule, iters, alpha, beta,
-                          snr_db, pidx)
+                run_point(code, name, decode_kw, snr_db, pidx)
             )
             with open(out_path, "w") as f:
                 json.dump({

@@ -157,6 +157,15 @@ def _link_cfg_from_args(args, **over) -> LinkConfig:
         early_stop=args.early_stop,
         es_mode=getattr(args, "es_mode", "freeze"),
         es_check_every=getattr(args, "es_check_every", 1),
+        es_probe_iters=getattr(args, "es_probe_iters", 4),
+        es_probe_alpha=(
+            _parse_ab(pa) if (pa := getattr(args, "es_probe_alpha", ""))
+            else None
+        ),
+        es_probe_beta=(
+            _parse_ab(pb) if (pb := getattr(args, "es_probe_beta", ""))
+            else None
+        ),
         bp_layered_group=getattr(args, "layered_group", 1),
     )
     fields.update(over)
@@ -609,9 +618,18 @@ def _add_common(sp: argparse.ArgumentParser) -> None:
                     choices=["global", "per-symbol"])
     sp.add_argument("--early-stop", action="store_true")
     sp.add_argument("--es-mode", default="freeze",
-                    choices=["freeze", "requeue"],
-                    help="early-stop strategy (requeue: probe pass + "
-                         "re-decode packed stragglers; pallas/TPU only)")
+                    choices=["freeze", "requeue", "probe"],
+                    help="early-stop strategy (requeue: ES probe + "
+                         "re-decode packed stragglers; probe: FIXED "
+                         "fast probe + MXU syndrome + packed requeue "
+                         "— the one that wins; pallas/TPU only)")
+    sp.add_argument("--es-probe-iters", type=int, default=4,
+                    help="probe budget for --es-mode requeue/probe")
+    sp.add_argument("--es-probe-alpha", default="", type=str,
+                    help="probe-pass alpha schedule for --es-mode probe "
+                         "(comma list; empty = --bp-alpha)")
+    sp.add_argument("--es-probe-beta", default="", type=str,
+                    help="probe-pass beta schedule (see --es-probe-alpha)")
     sp.add_argument("--es-check-every", type=int, default=1,
                     help="syndrome-check stride under --early-stop "
                          "(pallas only; must divide --iters)")

@@ -53,6 +53,7 @@ __all__ = [
     "minsum_qc_pallas",
     "bp_qc_pallas",
     "bp_qc_requeue",
+    "bp_qc_probe_requeue",
     "default_tile",
 ]
 
@@ -604,8 +605,9 @@ def bp_qc_pallas(
             f"es_check_every={es_check_every} must divide "
             f"iterations={iterations}"
         )
-    if done_in is not None and not early_stop:
-        raise ValueError("done_in requires early_stop=True")
+    # done_in without early_stop is allowed: plain fixed-iteration decode
+    # with whole-tile skip — the probe-requeue fast path (no per-lane
+    # freeze masks, no in-kernel syndrome sweeps, static unroll)
     B, n = llr.shape
     z, nb = qc.z, qc.nb
     if n != nb * z:
@@ -821,6 +823,148 @@ def bp_qc_requeue(
     bits = jnp.where(done[:, None], bits1, bits2[inv])
     if output == "hard_iters":
         iters = jnp.where(done, iters1, probe_iters + iters2[inv])
+        return bits, iters
+    return bits
+
+
+@functools.lru_cache(maxsize=16)
+def _qc_H_T(qc: QcStructure) -> np.ndarray:
+    """Dense Hᵀ int8 for the XLA syndrome matmul (constant, cached)."""
+    from ldpc_sims_tpu.codes.wifi import expand_qc
+
+    return expand_qc(np.asarray(qc.base), qc.z).T.astype(np.int8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("qc", "iterations", "probe_iters", "method",
+                     "alpha", "beta", "probe_alpha", "probe_beta",
+                     "clamp", "es_check_every", "msg_qbits", "msg_qclip",
+                     "schedule", "layered_group", "tile", "output",
+                     "dtype", "interpret"),
+)
+def bp_qc_probe_requeue(
+    llr: jnp.ndarray,
+    qc: QcStructure,
+    iterations: int = 20,
+    probe_iters: int = 6,
+    method: str = "min-sum",
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    probe_alpha=None,
+    probe_beta=None,
+    clamp: float | None = None,
+    es_check_every: int = 2,
+    msg_qbits: int | None = None,
+    msg_qclip: float = 20.0,
+    schedule: str = "layered",
+    layered_group: int = 1,
+    tile: int = 128,
+    output: str = "hard",
+    dtype=jnp.float32,
+    interpret: bool = False,
+):
+    """Adaptive decode: FIXED fast probe + packed straggler requeue.
+
+    The earlier adaptive modes lost to the fixed pipeline (BENCH_r03:
+    es-freeze 5.4e8, es-requeue 6.5e8 vs 1.5e9 bits/s for fixed
+    layered-10) because the probe itself ran with the early-stop
+    machinery — per-iteration in-kernel syndrome sweeps, lane-freeze
+    masks, and a ``while_loop`` that defeats Mosaic's static unroll.
+    This driver removes all of it from the common path:
+
+    1. **probe** — every codeword gets ``probe_iters`` iterations of the
+       PLAIN fixed kernel (optionally with a trained per-iteration
+       (α, β) schedule via ``probe_alpha``/``probe_beta``) at full
+       pipeline speed;
+    2. **syndrome** — ONE batched check outside the kernel,
+       ``bits @ Hᵀ & 1`` on the MXU (int8) — microseconds;
+    3. **requeue** — codewords sorted converged-first re-enter the
+       PLAIN fixed kernel with ``done_in``: converged tiles skip all
+       compute at entry, the few straggler tiles decode with the full
+       ``iterations`` budget from scratch — still no ES machinery
+       anywhere (measured on chip: the ES-kernel requeue pass cost ~7
+       ms/step of freeze-mask + while_loop overhead at (1944,972)
+       batch 32k even with every tile skipped).
+
+    BER note: stragglers get a fresh full-budget decode, so the FINAL
+    error rate is that of the full-budget schedule (+ the probe's rare
+    *undetected* errors, i.e. miscorrections to valid codewords) — an
+    aggressive probe schedule that floors on its own (e.g. trained
+    layered-6, docs/artifacts/20260821-014434_error_floor.json) is
+    rescued: its floor events are syndrome-detectable and re-decoded.
+    """
+    if output not in ("hard", "hard_iters"):
+        raise ValueError("bp_qc_probe_requeue outputs hard bits only")
+    B = llr.shape[0]
+    pa = alpha if probe_alpha is None else probe_alpha
+    pb = beta if probe_beta is None else probe_beta
+    bits1 = bp_qc_pallas(
+        llr, qc, iterations=probe_iters, method=method, alpha=pa,
+        beta=pb, clamp=clamp, msg_qbits=msg_qbits, msg_qclip=msg_qclip,
+        schedule=schedule, layered_group=layered_group, tile=tile,
+        output="hard", dtype=dtype, interpret=interpret,
+    )
+    # f32 MXU matmul, not int8: integer dot_general has no MXU path on
+    # TPU (lowers to slow vector code). 0/1 operands are bf16-exact and
+    # the row sums are small integers, so even the single-pass DEFAULT
+    # precision is exact here.
+    s = jax.lax.dot_general(
+        bits1.astype(jnp.float32),
+        jnp.asarray(_qc_H_T(qc), jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.int32) & 1
+    done = jnp.all(s == 0, axis=1)  # (B,)
+    # Compact requeue: gathering/re-decoding the FULL sorted batch costs
+    # ~10 ms/step at (1944,972) batch 32k (measured: 4.6 ms for the
+    # 255 MB llr gather + 5.4 ms of whole-grid DMA/dispatch even with
+    # every tile skipped). Only the straggler TAIL matters: a static
+    # capacity of ~B/4 lanes (covers frame-error rates far beyond any
+    # operating point) is gathered and decoded; on the (measure-zero)
+    # overflow the whole batch re-decodes at the full budget, keeping
+    # the result exact for every input.
+    C = min(B, max(tile, -(-B // (4 * tile)) * tile))
+    # stable partition via cumsums instead of argsort (~4x cheaper on
+    # TPU): done lanes pack to the front, stragglers to the back
+    d32 = done.astype(jnp.int32)
+    n_done = jnp.sum(d32)
+    rank_done = jnp.cumsum(d32) - d32            # exclusive prefix
+    rank_strag = jnp.cumsum(1 - d32) - (1 - d32)
+    dest = jnp.where(done, rank_done, n_done + rank_strag)
+    order = jnp.zeros((B,), jnp.int32).at[dest].set(
+        jnp.arange(B, dtype=jnp.int32)
+    )
+    idx = order[B - C:]
+    n_strag = B - n_done
+
+    kw2 = dict(
+        iterations=iterations, method=method, alpha=alpha, beta=beta,
+        clamp=clamp, msg_qbits=msg_qbits, msg_qclip=msg_qclip,
+        schedule=schedule, layered_group=layered_group, tile=tile,
+        output="hard", dtype=dtype, interpret=interpret,
+    )
+
+    def compact(_):
+        # bf16 gather halves the straggler-LLR traffic (TPU row gathers
+        # run far below stream bandwidth); bf16 channel LLRs are far
+        # above decode precision needs (cf. the msg_qbits=4..5 study)
+        llr_c = jnp.take(
+            llr.astype(jnp.bfloat16), idx, axis=0
+        ).astype(llr.dtype)
+        bits2 = bp_qc_pallas(llr_c, qc, done_in=done[idx], **kw2)
+        merged = jnp.where(
+            done[idx][:, None], jnp.take(bits1, idx, axis=0), bits2
+        )
+        return bits1.at[idx].set(merged)
+
+    def overflow(_):
+        return bp_qc_pallas(llr, qc, **kw2)
+
+    bits = jax.lax.cond(n_strag > C, overflow, compact, None)
+    if output == "hard_iters":
+        # stragglers run the full fixed budget (no in-kernel counting)
+        iters = jnp.where(done, probe_iters, probe_iters + iterations)
         return bits, iters
     return bits
 

@@ -379,6 +379,8 @@ def bp_decode(
     es_mode: str = "freeze",
     es_check_every: int = 1,
     es_probe_iters: int = 4,
+    es_probe_alpha=None,
+    es_probe_beta=None,
     msg_qbits: int | None = None,
     msg_qclip: float = 20.0,
     weights: dict[str, Any] | None = None,
@@ -455,7 +457,7 @@ def bp_decode(
             )
     if early_stop and weights is not None:
         raise ValueError("early_stop with neural-BP weights is unsupported")
-    if es_mode not in ("freeze", "requeue"):
+    if es_mode not in ("freeze", "requeue", "probe"):
         raise ValueError(f"unknown es_mode {es_mode!r}")
     # per-iteration weighted min-sum: static tuple alpha/beta (inference,
     # every backend incl. pallas) or the differentiable ms_alpha/ms_beta
@@ -553,9 +555,12 @@ def bp_decode(
                 f"(resolved backend: {backend!r}); pass backend='pallas' "
                 "(interpret mode runs it off-TPU)"
             )
-        if es_mode == "requeue" and output not in ("hard", "hard_iters"):
+        if es_mode in ("requeue", "probe") and output not in (
+            "hard", "hard_iters"
+        ):
             raise ValueError(
-                "es_mode='requeue' supports output='hard'/'hard_iters' only"
+                f"es_mode={es_mode!r} supports output='hard'/'hard_iters'"
+                " only"
             )
     if backend == "pallas":
         if qc is None:
@@ -571,6 +576,7 @@ def bp_decode(
             )
         from ldpc_sims_tpu.kernels.minsum_qc import (
             bp_qc_pallas,
+            bp_qc_probe_requeue,
             bp_qc_requeue,
             default_tile,
         )
@@ -597,7 +603,14 @@ def bp_decode(
             # off-TPU (tests, CPU meshes) the kernel runs in interpret mode
             interpret=interp,
         )
-        if early_stop and es_mode == "requeue":
+        if early_stop and es_mode == "probe":
+            # weights is always None here (early_stop excludes it above)
+            out = bp_qc_probe_requeue(
+                llr, qc, probe_iters=es_probe_iters,
+                probe_alpha=es_probe_alpha, probe_beta=es_probe_beta,
+                es_check_every=es_check_every, **kw,
+            )
+        elif early_stop and es_mode == "requeue":
             # weights is always None here (early_stop excludes it above)
             out = bp_qc_requeue(
                 llr, qc, probe_iters=es_probe_iters,

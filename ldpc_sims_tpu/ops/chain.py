@@ -50,8 +50,16 @@ class LinkConfig:
     alpha: float | tuple[float, ...] = 1.0
     beta: float | tuple[float, ...] = 0.0
     early_stop: bool = False
-    es_mode: str = "freeze"  # 'requeue' = probe+pack stragglers (pallas)
+    # 'requeue' = ES probe + pack stragglers; 'probe' = FIXED fast probe
+    # (optionally a trained schedule) + one MXU syndrome + packed
+    # full-budget requeue — the adaptive mode that beats the fixed
+    # pipeline (kernels.minsum_qc.bp_qc_probe_requeue). Both pallas.
+    es_mode: str = "freeze"
     es_check_every: int = 1  # syndrome-check stride (pallas)
+    es_probe_iters: int = 4  # probe budget for es_mode requeue/probe
+    # probe-pass schedule for es_mode='probe' (None = alpha/beta)
+    es_probe_alpha: float | tuple[float, ...] | None = None
+    es_probe_beta: float | tuple[float, ...] | None = None
     msg_qbits: int | None = None
     msg_qclip: float = 20.0
     # quantized-ADC path (None = ideal ADC)
@@ -212,6 +220,9 @@ def link_step(
         early_stop=cfg.early_stop,
         es_mode=cfg.es_mode,
         es_check_every=cfg.es_check_every,
+        es_probe_iters=cfg.es_probe_iters,
+        es_probe_alpha=cfg.es_probe_alpha,
+        es_probe_beta=cfg.es_probe_beta,
         layered_group=cfg.bp_layered_group,
         msg_qbits=cfg.msg_qbits,
         msg_qclip=cfg.msg_qclip,

@@ -391,9 +391,13 @@ def test_es_knob_validation():
     with pytest.raises(ValueError, match="must divide"):
         bp_qc_pallas(z, w.qc, iterations=10, early_stop=True,
                      es_check_every=3, interpret=True)
-    with pytest.raises(ValueError, match="requires early_stop"):
-        bp_qc_pallas(z, w.qc, iterations=10,
-                     done_in=jnp.zeros((128,), jnp.int32), interpret=True)
+    # done_in WITHOUT early_stop is the probe-requeue fast path (r4):
+    # an all-done batch must skip compute and return (garbage) output
+    # of the right shape without error
+    out = bp_qc_pallas(z, w.qc, iterations=10,
+                       done_in=jnp.ones((128,), jnp.int32),
+                       interpret=True)
+    assert out.shape == (128, w.n)
     with pytest.raises(ValueError, match="hard bits only"):
         bp_qc_requeue(z, w.qc, iterations=10, output="posterior",
                       interpret=True)
@@ -488,3 +492,47 @@ def test_log1mexp_matches_expm1_form():
     got = np.asarray(_log1mexp(jnp.asarray(a)))
     want = np.log(-np.expm1(-a.astype(np.float64)))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_probe_requeue_mode(rng):
+    """es_mode='probe' (VERDICT r3 #5): fixed fast probe + MXU syndrome
+    + compact packed requeue. Stragglers must match the plain
+    full-budget decode bit for bit; probe-converged frames exit at the
+    probe budget."""
+    w = get_code("wifi648")
+    B = 256
+    snr = 10 ** (1.8 / 10.0)
+    sigma = (1 / snr) ** 0.5
+    r = 1.0 + sigma * rng.normal(0, 1, (B, w.n))
+    llr = jnp.asarray(-2.0 * r / (sigma * sigma), jnp.float32)
+    kw = dict(iterations=12, method="min-sum", schedule="layered",
+              backend="pallas")
+    bits_fix = np.array(bp_decode(llr, w, **kw))
+    bits_p, iters = bp_decode(
+        llr, w, early_stop=True, es_mode="probe", es_probe_iters=3,
+        output="hard_iters", **kw,
+    )
+    bits_p, iters = np.array(bits_p), np.array(iters)
+    strag = iters > 3
+    assert strag.any() and (~strag).any()  # both populations exercised
+    np.testing.assert_array_equal(bits_p[strag], bits_fix[strag])
+    assert (iters[~strag] == 3).all()
+
+
+def test_probe_requeue_overflow_fallback(rng):
+    """When stragglers exceed the compact capacity (B/4), the lax.cond
+    fallback decodes the whole batch at the full budget — the result
+    must stay exact at any SNR."""
+    w = get_code("wifi648")
+    B = 512  # capacity = 128 lanes; at ~0 dB almost everything straggles
+    snr = 10 ** (0.0 / 10.0)
+    sigma = (1 / snr) ** 0.5
+    r = 1.0 + sigma * rng.normal(0, 1, (B, w.n))
+    llr = jnp.asarray(-2.0 * r / (sigma * sigma), jnp.float32)
+    kw = dict(iterations=8, method="min-sum", schedule="layered",
+              backend="pallas")
+    bits_fix = np.array(bp_decode(llr, w, **kw))
+    bits_p = np.array(bp_decode(
+        llr, w, early_stop=True, es_mode="probe", es_probe_iters=2, **kw
+    ))
+    np.testing.assert_array_equal(bits_p, bits_fix)
