@@ -126,6 +126,12 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                   schedule: str = "flooding",
                   layered_group: int = 1,
                   dtype=jnp.float32):
+    dtype = jnp.dtype(dtype)
+    is_int = dtype == jnp.dtype(jnp.int8)
+    # int8 stores messages on the 255-level grid over +-msg_qclip; the
+    # posterior plane (and in/out blocks) stay f32
+    pdtype = jnp.float32 if is_int else dtype
+    qstep = 2.0 * msg_qclip / 255.0
     planes, group_c, group_v = qc_plan(qc)
     mb, nb, z = qc.mb, qc.nb, qc.z
     dc_max = max(len(g) for g in group_c)
@@ -185,20 +191,51 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
         tile = llr_ref.shape[-1]
 
         def stamp_pads():
+            pad_val = 127.0 if is_int else _BIG
             for (i, k) in pad_slots:
                 msg_ref[i, k] = jnp.full(
-                    (msg_ref.shape[2], msg_ref.shape[3]), _BIG,
+                    (msg_ref.shape[2], msg_ref.shape[3]), pad_val,
                     dtype=msg_ref.dtype,
                 )
 
         # sub-32-bit dtypes are *storage only*: Mosaic on v5e lacks
         # bf16 lowerings for rotate/compare/reduce-index, so every load
         # lifts to f32 (one VPU cast) and every store truncates back.
-        # The VMEM halving — the reason to run bf16 — is unaffected.
+        # The VMEM saving — the reason to run bf16/int8 — is unaffected.
+        # int8 stores messages as round(v/qstep) in [-127, 127] (the
+        # message-quantized decoder made real in hardware storage:
+        # quarter the VMEM of f32); the posterior plane stays f32.
         f32 = jnp.float32
 
         def ld(x):
+            if is_int and x.dtype == jnp.int8:
+                return x.astype(f32) * qstep
             return x.astype(f32) if x.dtype != f32 else x
+
+        def st(v):
+            """f32 compute value → message storage dtype."""
+            if is_int:
+                return jnp.clip(
+                    jnp.round(v * (1.0 / qstep)), -127.0, 127.0
+                ).astype(jnp.int8)
+            return v.astype(dtype)
+
+        def unpad(x):
+            """Re-stamp pad slots of a LOADED full message tensor with
+            the inert magnitude (int8 storage holds 127 ~ qclip there,
+            which could tie with a real clipped message in the min).
+            Scatter has no Mosaic lowering, so this is an iota-mask
+            select over the (row, slot) axes — one compare per pad."""
+            if not is_int or not pad_slots:
+                return x
+            ii = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+            kk = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            lin = ii * dc_max + kk
+            mask = None
+            for (i, k) in pad_slots:
+                m = lin == (i * dc_max + k)
+                mask = m if mask is None else (mask | m)
+            return jnp.where(mask, _BIG, x)
 
         def write_posterior():
             """post_ref[j] = llr_j + Σ c2v messages (variable orientation).
@@ -210,7 +247,7 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                 acc = ld(llr_ref[j])
                 for (i, k, s) in var_slots[j]:
                     acc = acc + _roll(ld(msg_ref[i, k]), s)
-                post_ref[j] = acc.astype(dtype)
+                post_ref[j] = acc.astype(pdtype)
 
         def write_posterior_w(row):
             """Neural-BP weighted posterior using weight-table row ``row``
@@ -228,7 +265,7 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                     acc = acc + _roll(
                         wm_t[:, c:c + 1] * ld(msg_ref[i, k]), s
                     )
-                post_ref[j] = acc.astype(dtype)
+                post_ref[j] = acc.astype(pdtype)
 
         def syndrome_unsat():
             """Per-lane count of unsatisfied checks, shape (1, tile)."""
@@ -317,14 +354,12 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                     if with_weights:
                         c = i * dc_max + k
                         m = m * wm_t[:, c:c + 1]
-                    new = (
-                        _roll(ld(post_ref[j]), -s) - m
-                    ).astype(dtype)
+                    new = st(_roll(ld(post_ref[j]), -s) - m)
                     if keep is not None:
                         new = jnp.where(keep, msg_ref[i, k], new)
                     msg_ref[i, k] = new
             # -- check update: all checks at once ----------------------
-            out = check_excl(ld(msg_ref[...]), 1, it).astype(dtype)
+            out = st(check_excl(unpad(ld(msg_ref[...])), 1, it))
             if keep is not None:
                 out = jnp.where(keep[None, None], msg_ref[...], out)
             msg_ref[...] = out
@@ -373,10 +408,18 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                         new = y[gi, k]
                         if keep is not None:
                             new = jnp.where(keep, old, new)
+                        if is_int:
+                            # quantize FIRST so the posterior delta is
+                            # exactly what the stored message changes by
+                            newq = st(new)
+                            delta = ld(newq) - old
+                        else:
+                            newq = new.astype(dtype)
+                            delta = new - old
                         post_ref[j] = (
-                            ld(post_ref[j]) + _roll(new - old, s)
-                        ).astype(dtype)
-                        msg_ref[i, k] = new.astype(dtype)
+                            ld(post_ref[j]) + _roll(delta, s)
+                        ).astype(pdtype)
+                        msg_ref[i, k] = newq
 
         def bp_iter(done, it=0):
             if schedule == "layered":
@@ -644,8 +687,12 @@ def bp_qc_pallas(
         schedule=schedule, layered_group=layered_group, dtype=dtype,
     )
 
+    is_int = dtype == jnp.dtype(jnp.int8)
+    pdtype = jnp.dtype(jnp.float32) if is_int else dtype
     # internal convention log(Pr0/Pr1), variable-block-major planes
-    lv = (-llr.T).reshape(nb, z, B).astype(dtype)
+    # (channel LLRs and posteriors are never int8-quantized — only the
+    # c2v message storage is)
+    lv = (-llr.T).reshape(nb, z, B).astype(pdtype)
 
     # scratch (msg + posterior planes) + double-buffered in/out blocks
     # exceed the 16 MB default scoped-vmem budget at tile=128 on
@@ -653,11 +700,10 @@ def bp_qc_pallas(
     # (v5e: 128 MB). The 2x factor covers Mosaic's internal temporaries,
     # plus a fixed 8 MB margin (measured: tile=256 f32 on (1944,972)
     # needs 37.04 MB vs 34.17 MB from the bare 2x formula).
-    itemsize = dtype.itemsize
     lane_pad = lambda d: -(-d // 128) * 128  # noqa: E731
-    vmem_bytes = itemsize * (
-        2 * 2 * nb * z * tile  # in + out blocks, double-buffered
-        + (mb * dc_max + nb) * z * tile  # message + posterior scratch
+    vmem_bytes = (
+        pdtype.itemsize * (2 * 2 + 1) * nb * z * tile  # in/out + post
+        + dtype.itemsize * mb * dc_max * z * tile      # messages
     )
     if weights is not None:
         # f32 weight tables, lane-padded to 128 columns
@@ -700,7 +746,7 @@ def bp_qc_pallas(
                          memory_space=pltpu.VMEM)
         )
         operands.append(wl_tab)
-    out_shape = [jax.ShapeDtypeStruct((nb, z, B), dtype)]
+    out_shape = [jax.ShapeDtypeStruct((nb, z, B), pdtype)]
     out_specs = [
         pl.BlockSpec((nb, z, tile), lambda b: (0, 0, b),
                      memory_space=pltpu.VMEM),
@@ -719,7 +765,7 @@ def bp_qc_pallas(
         out_shape=tuple(out_shape) if early_stop else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((mb, dc_max, z, tile), dtype),
-            pltpu.VMEM((nb, z, tile), dtype),
+            pltpu.VMEM((nb, z, tile), pdtype),
         ],
         compiler_params=params,
         interpret=interpret,

@@ -562,6 +562,12 @@ def bp_decode(
                 f"es_mode={es_mode!r} supports output='hard'/'hard_iters'"
                 " only"
             )
+    if jnp.dtype(dtype) == jnp.dtype(jnp.int8) and backend != "pallas":
+        raise ValueError(
+            "int8 message storage is a Pallas-kernel feature (messages "
+            "live on a 255-level grid over ±msg_qclip in VMEM); pass "
+            "backend='pallas'"
+        )
     if backend == "pallas":
         if qc is None:
             raise ValueError("pallas backend requires a quasi-cyclic LdpcCode")

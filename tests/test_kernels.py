@@ -536,3 +536,41 @@ def test_probe_requeue_overflow_fallback(rng):
         llr, w, early_stop=True, es_mode="probe", es_probe_iters=2, **kw
     ))
     np.testing.assert_array_equal(bits_p, bits_fix)
+
+
+def test_int8_message_storage(rng):
+    """int8 message storage (VERDICT r3 #8): messages live on the
+    255-level grid over ±msg_qclip in VMEM (quarter of f32); channel
+    LLRs and the posterior plane stay f32. At operating SNR the decode
+    matches f32 bit for bit on this batch; at harsh SNR it behaves as
+    a (fine) quantized decoder — BER within 20% of f32."""
+    w = get_code("wifi648")
+    B = 128
+    u = rng.integers(0, 2, (B, w.k)).astype(np.uint8)
+    cw = w.encode_np(u)
+    llr = jnp.asarray(
+        (2.0 * cw - 1.0) * 4.0 + rng.normal(0, 1.3, cw.shape) * 2,
+        jnp.float32,
+    )
+    for sched in ("flooding", "layered"):
+        b32 = np.array(bp_decode(llr, w, iterations=8, method="min-sum",
+                                 schedule=sched, backend="pallas"))
+        b8 = np.array(bp_decode(llr, w, iterations=8, method="min-sum",
+                                schedule=sched, backend="pallas",
+                                dtype=jnp.int8))
+        np.testing.assert_array_equal(b32, b8)
+    # harsh SNR: quantization may flip marginal frames but not the BER
+    snr = 10 ** (1.5 / 10.0)
+    sigma = (1 / snr) ** 0.5
+    r = 1.0 + sigma * rng.normal(0, 1, (B, w.n))
+    hl = jnp.asarray(-2.0 * r / (sigma * sigma), jnp.float32)
+    e32 = float(np.array(bp_decode(hl, w, iterations=10, method="min-sum",
+                                   schedule="layered",
+                                   backend="pallas")).mean())
+    e8 = float(np.array(bp_decode(hl, w, iterations=10, method="min-sum",
+                                  schedule="layered", backend="pallas",
+                                  dtype=jnp.int8)).mean())
+    assert e8 <= e32 * 1.2 + 1e-3
+    with pytest.raises(ValueError, match="int8"):
+        bp_decode(hl, w, iterations=4, method="min-sum", backend="roll",
+                  dtype=jnp.int8)
