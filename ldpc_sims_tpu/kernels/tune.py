@@ -6,10 +6,18 @@ schedule) choices and prints one JSON line per point. Its output feeds
 the dispatch table ``kernels.minsum_qc._TILE_TABLE`` (consumed through
 ``default_tile`` by ``bp_decode``); re-run when libtpu/Mosaic versions
 move and record the result under ``docs/artifacts/`` (latest:
-``20260820_kernel_tile_r3.jsonl`` — tile=128/f32 fastest everywhere, so
-the table holds no overrides). Known envelope on v5e: f32 tiles ≤ 512
-and bf16 tiles ≤ 256 compile; beyond that Mosaic's scoped-VMEM request
-exceeds the chip.
+``20260821_kernel_tune_r4.jsonl`` — tile=128/f32 fastest everywhere
+across flooding/layered × {f32, int8} × tiles {128, 256, 512}, so the
+table holds no overrides). int8 message storage measures 15-32% slower
+than f32 at every tile (the lift/quantize casts outweigh the VMEM
+saving, same mechanism as bf16) — it is the *capability* of
+hardware-real quantized message storage at quarter VMEM, not a speed
+lever; int8/tile-512 flooding fails TPU compile (server-side
+tpu_compile_helper crash). Per-edge weighted flooding-20 runs at 10.4%
+over the unweighted kernel (40.8 vs 36.9 ms/step at batch 32k — within
+the 15% budget of VERDICT r3 #2). Known envelope on v5e: f32 tiles
+≤ 512 and bf16 tiles ≤ 256 compile; beyond that Mosaic's scoped-VMEM
+request exceeds the chip.
 """
 
 from __future__ import annotations
