@@ -39,3 +39,19 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module.
+
+    The full suite compiles hundreds of XLA CPU executables in one
+    process; past ~120 tests the CPU compiler segfaults inside
+    backend_compile (reproducible at the same collection position with
+    a fresh persistent cache, gone when the neighborhood runs alone).
+    Dropping the in-memory jit caches at module boundaries keeps the
+    live-executable count bounded; the persistent disk cache keeps
+    recompiles cheap.
+    """
+    yield
+    jax.clear_caches()
