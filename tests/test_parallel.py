@@ -210,3 +210,26 @@ def test_run_sweep_chunked(tmp_path):
 
     man = _json.load(open(tmp_path / "m.json"))
     assert man["points"]["4"]["steps"] % 4 == 0
+
+
+def test_mc_step_probe_mode_on_mesh():
+    """es_mode='probe' (two pallas passes + cond fallback + partition)
+    composes with the vmapped, mesh-sharded MC step — the production
+    sweep shape for the adaptive decoder."""
+    import jax
+
+    from ldpc_sims_tpu.codes import get_code
+    from ldpc_sims_tpu.ops.chain import LinkConfig
+    from ldpc_sims_tpu.parallel import mc_step
+    from ldpc_sims_tpu.parallel.mesh import make_mesh
+
+    code = get_code("wifi648")
+    cfg = LinkConfig(
+        bp_iterations=8, bp_method="min-sum", clamp=None,
+        bp_schedule="layered", early_stop=True, es_mode="probe",
+        es_probe_iters=2,
+    )
+    step = mc_step(code, cfg, 512, make_mesh())
+    out = step(jax.random.key(0), 2.0)
+    assert int(out["frames"]) == 512
+    assert 0 <= int(out["coded_bit_errors"]) <= int(out["info_bits"])
