@@ -81,11 +81,7 @@ def evaluate_sweep(
     import math
 
     from ldpc_sims_tpu.ops.chain import BITS_PER_SYMBOL
-    from ldpc_sims_tpu.parallel.mesh import (
-        batch_sharding,
-        local_batch_multiple,
-        make_mesh,
-    )
+    from ldpc_sims_tpu.parallel.mesh import local_batch_multiple, make_mesh
 
     k = code.k
 
@@ -108,7 +104,6 @@ def evaluate_sweep(
             )
         n_dev = 1
     per_dev = eval_cfg.num_codewords // n_dev
-    shard = batch_sharding(mesh)
 
     def point_step(key, snrdb):
         out = link_step(
@@ -182,16 +177,38 @@ def evaluate_sweep(
     def sharded_step(key, snrdb):
         if n_dev == 1:
             return point_step(key, snrdb)
-        keys = jax.lax.with_sharding_constraint(
-            jax.random.split(key, n_dev), shard
-        )
-        outs = jax.vmap(lambda kk: point_step(kk, snrdb))(keys)
-        # counts sum across shards; WMSE is a mean of equal-size shard
-        # means → averaging is exact
-        return {
-            kk: (jnp.mean(v) if kk.startswith("wmse") else jnp.sum(v))
-            for kk, v in outs.items()
-        }
+        from jax.sharding import PartitionSpec as P
+
+        axes = mesh.axis_names
+
+        def shard_body(kk, s):
+            # shard_map, not vmap: per-shard programs keep the adaptive
+            # decoder's overflow lax.cond a scalar-predicate branch
+            # (under vmap it lowers to select and runs both branches —
+            # see parallel/mc.py:mc_step). Key stream matches the
+            # historical split+vmap formulation.
+            i = jax.lax.axis_index(axes[0])
+            for a in axes[1:]:
+                i = i * mesh.shape[a] + jax.lax.axis_index(a)
+            out = point_step(jax.random.split(kk, n_dev)[i], s)
+            # counts sum across shards; WMSE is a mean of equal-size
+            # shard means → averaging is exact
+            return {
+                k2: (
+                    jax.lax.pmean(v, axes)
+                    if k2.startswith("wmse")
+                    else jax.lax.psum(v, axes)
+                )
+                for k2, v in out.items()
+            }
+
+        return jax.shard_map(
+            shard_body, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+            # check_vma off: decode-internal fori_loop carries start from
+            # unvarying constants; the explicit psums above make outputs
+            # replicated regardless
+            check_vma=False,
+        )(key, snrdb)
 
     step = jax.jit(sharded_step)
     master = jax.random.key(eval_cfg.seed)

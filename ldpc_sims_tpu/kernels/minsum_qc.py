@@ -382,6 +382,12 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
             never written back).
             """
             keep = None if done is None else (done > 0)
+            # per-edge neural-BP weights: the posterior carries THIS
+            # sweep's weight row (re-based between sweeps by bp_iter),
+            # so the weighted exclusive v2c is roll(post_w, −s) − w⊙msg
+            # and the posterior delta is w⊙(new − old) — wm_tab columns
+            # are pre-rolled to check orientation (_pack_edge_weights)
+            wm_t = wm_ref[it] if with_weights else None
             for g0 in range(0, mb, layered_group):
                 rows = list(
                     enumerate(row_slots[g0:g0 + layered_group], g0)
@@ -391,9 +397,11 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                 planes = []
                 for i, slots in rows:
                     for (k, j, s) in slots:
-                        planes.append(
-                            _roll(ld(post_ref[j]), -s) - ld(msg_ref[i, k])
-                        )
+                        m = ld(msg_ref[i, k])
+                        if with_weights:
+                            c = i * dc_max + k
+                            m = m * wm_t[:, c:c + 1]
+                        planes.append(_roll(ld(post_ref[j]), -s) - m)
                     for _ in range(dc_max - len(slots)):
                         planes.append(
                             jnp.full(planes[-1].shape, _BIG, f32)
@@ -416,6 +424,9 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                         else:
                             newq = new.astype(dtype)
                             delta = new - old
+                        if with_weights:
+                            delta = delta * wm_t[:, i * dc_max + k:
+                                                 i * dc_max + k + 1]
                         post_ref[j] = (
                             ld(post_ref[j]) + _roll(delta, s)
                         ).astype(pdtype)
@@ -424,6 +435,11 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
         def bp_iter(done, it=0):
             if schedule == "layered":
                 layered_sweep(done, it)  # maintains post_ref incrementally
+                if with_weights:
+                    # weight tables change per sweep: re-base the
+                    # posterior onto row it+1 (after the last sweep that
+                    # row holds the final-marginalization weights)
+                    write_posterior_w(it + 1)
             else:
                 update(done, it)
                 if with_weights:
@@ -620,7 +636,8 @@ def bp_qc_pallas(
     table at ~zero throughput cost. ``weights``: an edge-flavor
     neural-BP pytree (``bp.init_neural_bp_weights(..., flavor='edge')``)
     — trained per-edge decoders run on the fast path as ~1 MB of VMEM
-    weight tables (flooding schedule only, no early stop; bit-exact vs
+    weight tables under BOTH schedules — weighted layered re-bases the
+    posterior onto each sweep's weight row — (no early stop; bit-exact vs
     the roll backend's weighted decode).
     """
     if method not in ("min-sum", "sum-product"):
@@ -662,11 +679,6 @@ def bp_qc_pallas(
     if layered_group < 1 or (layered_group > 1 and schedule != "layered"):
         raise ValueError("layered_group needs schedule='layered'")
     if weights is not None:
-        if schedule != "flooding":
-            raise ValueError(
-                "neural-BP weights assume a flooding unroll "
-                "(schedule='flooding')"
-            )
         if early_stop or done_in is not None:
             raise ValueError("neural-BP weights with early stop is "
                              "unsupported")
@@ -885,7 +897,7 @@ def _qc_H_T(qc: QcStructure) -> np.ndarray:
     jax.jit,
     static_argnames=("qc", "iterations", "probe_iters", "method",
                      "alpha", "beta", "probe_alpha", "probe_beta",
-                     "clamp", "es_check_every", "msg_qbits", "msg_qclip",
+                     "clamp", "msg_qbits", "msg_qclip",
                      "schedule", "layered_group", "tile", "output",
                      "dtype", "interpret"),
 )
@@ -900,7 +912,6 @@ def bp_qc_probe_requeue(
     probe_alpha=None,
     probe_beta=None,
     clamp: float | None = None,
-    es_check_every: int = 2,
     msg_qbits: int | None = None,
     msg_qclip: float = 20.0,
     schedule: str = "layered",
@@ -939,12 +950,30 @@ def bp_qc_probe_requeue(
     aggressive probe schedule that floors on its own (e.g. trained
     layered-6, docs/artifacts/20260821-014434_error_floor.json) is
     rescued: its floor events are syndrome-detectable and re-decoded.
+
+    Batching note: the overflow fallback is a data-dependent
+    ``lax.cond``. Called unbatched (or per-shard under ``shard_map`` —
+    how the MC engine runs it) the predicate is a scalar and only one
+    branch executes. Under ``vmap`` the cond lowers to ``select`` and
+    BOTH branches run every call — results stay exact but the
+    full-batch overflow decode erases the adaptive win; don't vmap this.
     """
     if output not in ("hard", "hard_iters"):
         raise ValueError("bp_qc_probe_requeue outputs hard bits only")
     B = llr.shape[0]
+    # a frozen per-iteration (α, β) schedule: the probe pass runs its
+    # prefix when no dedicated probe schedule is given
     pa = alpha if probe_alpha is None else probe_alpha
     pb = beta if probe_beta is None else probe_beta
+    if isinstance(pa, tuple) and len(pa) != probe_iters:
+        pa = pa[:probe_iters]
+    if isinstance(pb, tuple) and len(pb) != probe_iters:
+        pb = pb[:probe_iters]
+    for t, nm in ((pa, "es_probe_alpha"), (pb, "es_probe_beta")):
+        if isinstance(t, tuple) and len(t) != probe_iters:
+            raise ValueError(
+                f"{nm} has {len(t)} entries for probe_iters={probe_iters}"
+            )
     bits1 = bp_qc_pallas(
         llr, qc, iterations=probe_iters, method=method, alpha=pa,
         beta=pb, clamp=clamp, msg_qbits=msg_qbits, msg_qclip=msg_qclip,
@@ -992,12 +1021,11 @@ def bp_qc_probe_requeue(
     )
 
     def compact(_):
-        # bf16 gather halves the straggler-LLR traffic (TPU row gathers
-        # run far below stream bandwidth); bf16 channel LLRs are far
-        # above decode precision needs (cf. the msg_qbits=4..5 study)
-        llr_c = jnp.take(
-            llr.astype(jnp.bfloat16), idx, axis=0
-        ).astype(llr.dtype)
+        # native-dtype gather: keeps the straggler re-decode bit-exact
+        # vs the fixed full-budget decode (a bf16 round-trip here saved
+        # ~0.5 ms/step at batch 32k but made marginal frames decode
+        # differently — advisor finding, round 4)
+        llr_c = jnp.take(llr, idx, axis=0)
         bits2 = bp_qc_pallas(llr_c, qc, done_in=done[idx], **kw2)
         merged = jnp.where(
             done[idx][:, None], jnp.take(bits1, idx, axis=0), bits2
@@ -1007,10 +1035,16 @@ def bp_qc_probe_requeue(
     def overflow(_):
         return bp_qc_pallas(llr, qc, **kw2)
 
-    bits = jax.lax.cond(n_strag > C, overflow, compact, None)
+    overflowed = n_strag > C
+    bits = jax.lax.cond(overflowed, overflow, compact, None)
     if output == "hard_iters":
-        # stragglers run the full fixed budget (no in-kernel counting)
-        iters = jnp.where(done, probe_iters, probe_iters + iterations)
+        # stragglers run the full fixed budget (no in-kernel counting);
+        # on overflow the WHOLE batch re-decoded at the full budget
+        iters = jnp.where(
+            jnp.logical_and(done, jnp.logical_not(overflowed)),
+            probe_iters,
+            probe_iters + iterations,
+        )
         return bits, iters
     return bits
 

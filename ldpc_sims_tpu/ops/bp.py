@@ -335,8 +335,8 @@ def _pallas_eligible(
     The kernel covers min-sum / sum-product with clamp, per-codeword
     early stop, message quantization, bf16 storage, and — for inference
     — edge-flavor neural-BP weight pytrees (packed into ~1 MB of VMEM
-    weight tables; flooding schedule, no early stop). Traced ms
-    pytrees and pair-flavor weights stay on the roll/gather backends.
+    weight tables; flooding or layered schedule, no early stop). Traced
+    ms pytrees and pair-flavor weights stay on the roll/gather backends.
     Auto-selection additionally requires a hard-decision output (the
     kernel carries no gradient; hard bits carry none anyway) and a real
     TPU default backend — explicit ``backend='pallas'`` also accepts
@@ -515,11 +515,10 @@ def bp_decode(
     )
     # traced ms weights can't bake into the (static-arg) pallas kernel
     # (static tuples can); edge-flavor weight pytrees ride along as VMEM
-    # operands but only under the flooding schedule
+    # operands under both the flooding and the layered schedule
     w_elig = ms_w if ms_w is not None else weights
-    w_sched_ok = weights is None or schedule == "flooding"
     if backend == "auto":
-        if qc is not None and w_sched_ok and (
+        if qc is not None and (
             needs_pallas
             and _pallas_eligible(method, early_stop, msg_qbits, w_elig,
                                  output)
@@ -561,6 +560,15 @@ def bp_decode(
             raise ValueError(
                 f"es_mode={es_mode!r} supports output='hard'/'hard_iters'"
                 " only"
+            )
+        if es_mode == "probe" and es_check_every != 1:
+            # probe mode has no in-kernel syndrome sweeps at all (one
+            # batched MXU syndrome between the passes) — a configured
+            # check stride would be silently inert
+            raise ValueError(
+                "es_check_every has no effect under es_mode='probe' "
+                "(syndromes are checked once, outside the kernel); "
+                "leave it at 1"
             )
     if jnp.dtype(dtype) == jnp.dtype(jnp.int8) and backend != "pallas":
         raise ValueError(
@@ -614,7 +622,7 @@ def bp_decode(
             out = bp_qc_probe_requeue(
                 llr, qc, probe_iters=es_probe_iters,
                 probe_alpha=es_probe_alpha, probe_beta=es_probe_beta,
-                es_check_every=es_check_every, **kw,
+                **kw,
             )
         elif early_stop and es_mode == "requeue":
             # weights is always None here (early_stop excludes it above)

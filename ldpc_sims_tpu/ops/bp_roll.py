@@ -317,15 +317,38 @@ def decode_roll(
     if schedule not in ("flooding", "layered"):
         raise ValueError(f"unknown schedule {schedule!r}")
     if schedule == "layered":
+        w_layers = None
         if weights is not None:
-            raise ValueError(
-                "layered schedule does not support neural-BP weights "
-                "(per-iteration weights assume a flooding unroll)"
+            if early_stop:
+                raise ValueError(
+                    "early_stop with neural-BP weights is unsupported"
+                )
+            # per-iteration per-edge weights, PRE-ROLLED to check
+            # orientation: for plane p = (i, j, s),
+            # roll(w ⊙ roll(msg, s), −s) == roll(w, −s) ⊙ msg — so the
+            # layered sweep multiplies messages in place, no transposes.
+            # Entry `iterations` holds the final-marginalization weights.
+            def roll_cols(per_plane):
+                return [
+                    jnp.roll(per_plane[p], -planes[p][2], axis=0)
+                    for p in range(P)
+                ]
+
+            w_layers = [
+                (roll_cols(wp), wl)
+                for wp, wl in (
+                    wslice(weights["w_msg"][it], weights["w_llr"][it])
+                    for it in range(iterations)
+                )
+            ]
+            wp_f, wl_f = wslice(
+                weights["w_msg_final"], weights["w_llr_final"]
             )
+            w_layers.append((roll_cols(wp_f), wl_f))
         post, iters_run = _decode_layered(
-            Lv, planes, group_c, excl_update, mb, nb, z, B,
+            Lv, planes, group_c, group_v, excl_update, mb, nb, z, B,
             iterations=iterations, early_stop=early_stop, dtype=dtype,
-            unroll=ms_unroll,
+            unroll=ms_unroll or weights is not None, w_layers=w_layers,
         )
         return _emit(post, iters_run, output, n, B)
 
@@ -402,6 +425,7 @@ def _decode_layered(
     Lv: jnp.ndarray,
     planes: list,
     group_c: list,
+    group_v: list,
     excl_update,
     mb: int,
     nb: int,
@@ -412,6 +436,7 @@ def _decode_layered(
     early_stop: bool,
     dtype,
     unroll: bool = False,
+    w_layers: list | None = None,
 ):
     """Serial-C (row-layered) BP over the QC block rows.
 
@@ -423,26 +448,62 @@ def _decode_layered(
     later layers inside the same sweep already see the improvement.
     One "iteration" = one sweep over all ``mb`` layers. ``unroll``
     replaces the fori_loop with a Python loop so reverse-mode autodiff
-    works (the weighted-min-sum training path).
+    works (the weighted-min-sum / neural-BP training paths).
+
+    ``w_layers``: optional per-edge neural-BP weights — entry ``it`` is
+    ``(w_cols, wl)`` with ``w_cols[p]`` the (z, 1) weight column of
+    plane ``p`` pre-rolled to CHECK orientation and ``wl`` the (nb, z)
+    LLR weights; entry ``iterations`` holds the final-marginalization
+    weights. Sweep ``it`` forms its v2c messages as
+    ``roll(L_w, −s) − w⊙c2v`` against a posterior carrying that
+    iteration's weights (``L_w = wl⊙Lv + Σ w⊙roll(c2v, s)``), which the
+    sweep maintains incrementally; the posterior is re-based between
+    iterations because the weight tables change (the layered
+    generalization of the reference's per-iteration trainable VC
+    layers, ``bp/bp.py:33-34`` + ``bp/bp_vc.py:101-107``).
     """
     P = len(planes)
 
+    def w_at(it):
+        if w_layers is None:
+            return None, None
+        return w_layers[it]
+
     def sweep(state, it=0):
         L, c2v = list(state[0]), list(state[1])
+        wcols, _ = w_at(it)
         for i in range(mb):
             ps = group_c[i]
             xs = [
-                jnp.roll(L[planes[p][1]], -planes[p][2], axis=0) - c2v[p]
+                jnp.roll(L[planes[p][1]], -planes[p][2], axis=0)
+                - (c2v[p] if wcols is None else wcols[p] * c2v[p])
                 for p in ps
             ]
             y = excl_update(jnp.stack(xs), it)
             for k, p in enumerate(ps):
                 _, j, s = planes[p]
-                L[j] = L[j] + jnp.roll(y[k] - c2v[p], s, axis=0)
+                d = y[k] - c2v[p] if wcols is None else (
+                    wcols[p] * (y[k] - c2v[p])
+                )
+                L[j] = L[j] + jnp.roll(d, s, axis=0)
                 c2v[p] = y[k]
         return tuple(L), tuple(c2v)
 
-    L0 = tuple(Lv[j] for j in range(nb))
+    def rebase(c2v, it):
+        """Posterior under weight-table row ``it`` (or the final row)."""
+        wcols, wl = w_at(it)
+        out = []
+        for j in range(nb):
+            acc = Lv[j] if wl is None else wl[j][:, None] * Lv[j]
+            for p in group_v[j]:
+                v = c2v[p] if wcols is None else wcols[p] * c2v[p]
+                acc = acc + jnp.roll(v, planes[p][2], axis=0)
+            out.append(acc)
+        return tuple(out)
+
+    L0 = tuple(Lv[j] for j in range(nb)) if w_layers is None else rebase(
+        tuple(jnp.zeros((z, B), dtype) for _ in range(P)), 0
+    )
     c2v0 = tuple(jnp.zeros((z, B), dtype) for _ in range(P))
 
     if early_stop:
@@ -486,10 +547,14 @@ def _decode_layered(
             cond, body, (jnp.int32(0), L0, c2v0, done0, iters0)
         )
     elif unroll:
-        st = (L0, c2v0)
+        L, c2v = L0, c2v0
         for it in range(iterations):
-            st = sweep(st, it)
-        L = st[0]
+            L, c2v = sweep((L, c2v), it)
+            if w_layers is not None:
+                # next sweep's (or, after the last sweep, the final
+                # marginalization's) weight tables differ — re-base the
+                # incrementally-maintained posterior onto them
+                L = rebase(c2v, it + 1)
         iters_run = jnp.full((B,), iterations, jnp.int32)
     else:
         L, _ = jax.lax.fori_loop(

@@ -23,11 +23,7 @@ import numpy as np
 
 from ldpc_sims_tpu.codes.library import LdpcCode
 from ldpc_sims_tpu.ops.chain import LinkConfig, link_step
-from ldpc_sims_tpu.parallel.mesh import (
-    batch_sharding,
-    local_batch_multiple,
-    make_mesh,
-)
+from ldpc_sims_tpu.parallel.mesh import local_batch_multiple, make_mesh
 
 __all__ = [
     "SweepConfig",
@@ -103,14 +99,20 @@ def mc_step(
     """Build the jitted sharded Monte-Carlo step: (key, snrdb) → counts.
 
     The step takes one *replicated scalar* PRNG key; the per-device key
-    fan-out (``jax.random.split`` + a sharding constraint) happens
-    INSIDE the jit. This is the multi-controller-safe formulation: every
+    fan-out (``jax.random.split`` + per-shard indexing) happens INSIDE
+    the jit. This is the multi-controller-safe formulation: every
     process feeds the same scalar key (derived from the shared seed), no
-    host ever materializes a mesh-spanning array, and XLA shards the
-    split across the mesh. Each shard simulates its slice of the batch
-    fully on-device and the scalar counters reduce with XLA-inserted
-    collectives (the ``psum`` of SURVEY.md §5.7 — emitted by the
-    compiler from the sharding annotations, not hand-written).
+    host ever materializes a mesh-spanning array. The device fan-out is
+    ``jax.shard_map`` — each shard simulates its slice of the batch
+    fully on-device as its OWN program instance and the scalar counters
+    reduce with one explicit ``jax.lax.psum`` (SURVEY.md §5.7). SPMD
+    via shard_map rather than ``vmap`` matters beyond idiom: the
+    adaptive probe-requeue decoder carries a data-dependent
+    ``lax.cond`` (overflow fallback, kernels/minsum_qc.py) that stays a
+    *scalar-predicate* true branch per shard here, whereas a vmapped
+    batch axis would lower it to ``select`` and execute BOTH branches —
+    every step would silently pay the full-batch overflow decode
+    (advisor finding, round 4).
     """
     if mesh is None:
         mesh = make_mesh()
@@ -118,16 +120,34 @@ def mc_step(
     if batch_cw % n_dev:
         raise ValueError(f"batch_cw={batch_cw} not divisible by {n_dev} devices")
     per_dev = batch_cw // n_dev
-    shard = batch_sharding(mesh)
+    axes = mesh.axis_names  # ('snr', 'batch'), both carry MC shards
+
+    def shard_body(key: jax.Array, snrdb: jax.Array):
+        # same key stream as the historical split+vmap formulation:
+        # shard i (linearized over the mesh axes) uses split(key, N)[i]
+        i = jax.lax.axis_index(axes[0])
+        for a in axes[1:]:
+            i = i * mesh.shape[a] + jax.lax.axis_index(a)
+        k = jax.random.split(key, n_dev)[i]
+        out = link_step(k, snrdb, code, cfg, per_dev, weights=weights)
+        return {k2: jax.lax.psum(out[k2], axes) for k2 in _COUNT_KEYS}
 
     def one(key: jax.Array, snrdb: jax.Array):
-        keys = jax.lax.with_sharding_constraint(
-            jax.random.split(key, n_dev), shard
-        )
-        outs = jax.vmap(
-            lambda k: link_step(k, snrdb, code, cfg, per_dev, weights=weights)
-        )(keys)
-        return {k: jnp.sum(outs[k]) for k in _COUNT_KEYS}
+        if n_dev == 1:  # nothing to map over; skip the shard machinery
+            out = link_step(
+                jax.random.split(key, 1)[0], snrdb, code, cfg, per_dev,
+                weights=weights,
+            )
+            return {k: out[k] for k in _COUNT_KEYS}
+        from jax.sharding import PartitionSpec as P
+
+        return jax.shard_map(
+            shard_body, mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+            # check_vma off: decode-internal fori_loop carries start from
+            # unvarying constants; the explicit psums above make outputs
+            # replicated regardless
+            check_vma=False,
+        )(key, snrdb)
 
     if steps_per_sync < 1:
         raise ValueError(f"steps_per_sync={steps_per_sync} must be >= 1")

@@ -8,6 +8,7 @@ from ldpc_sims_tpu.training.trainer import (  # noqa: F401
     TrainConfig,
     train_joint,
     train_llr,
+    decoded_ber_probe,
     train_minsum_weights,
     train_neural_bp,
 )

@@ -44,6 +44,7 @@ __all__ = [
     "train_joint",
     "train_neural_bp",
     "train_minsum_weights",
+    "decoded_ber_probe",
 ]
 
 
@@ -392,6 +393,47 @@ def train_joint(
     return params, info
 
 
+def decoded_ber_probe(
+    code,
+    snr_db: tuple[float, ...],
+    batch: int = 512,
+    **decode_kw,
+):
+    """Build a jitted held-out decoded-BER probe for decoder training.
+
+    Returns ``probe(weights, key) -> {snr: ber}``: fresh
+    all-zero-codeword BPSK/AWGN batches at each ``snr_db`` point decoded
+    with the *current* weights (unbiased for any weighted min-sum /
+    sum-product decoder — the update rules are odd in the messages, so
+    the all-zero codeword is representative; cf. train_minsum_weights).
+    The cheap in-loop early warning for floor-prone schedules (VERDICT
+    r4 weak #7): include at least one point beyond the training window.
+    """
+    from ldpc_sims_tpu.ops.bp import bp_decode
+
+    snrs = tuple(float(s) for s in snr_db)
+
+    @jax.jit
+    def _probe(weights, key):
+        out = {}
+        for i, s in enumerate(snrs):
+            k = jax.random.fold_in(key, i)
+            snr = 10.0 ** (s / 10.0)
+            sigma = snr ** -0.5
+            r = 1.0 + sigma * jax.random.normal(k, (batch, code.n))
+            llr = -2.0 * r / (sigma * sigma)
+            bits = bp_decode(
+                llr, code, weights=weights, output="hard", **decode_kw
+            )
+            out[s] = jnp.mean(bits.astype(jnp.float32))
+        return out
+
+    def probe(weights, key):
+        return {s: float(v) for s, v in _probe(weights, key).items()}
+
+    return probe
+
+
 def train_neural_bp(
     code,
     llrs: np.ndarray,
@@ -400,13 +442,20 @@ def train_neural_bp(
     iterations: int = 5,
     method: str = "sum-product",
     clamp: float = 20.0,
+    schedule: str = "flooding",
+    probe_snr_db: tuple[float, ...] = (),
     init_weights: Any | None = None,
     ckpt_dir: str | None = None,
     log: Callable[[str], None] | None = print,
 ):
     """Train per-edge neural-BP weights alone (decoder-only learning —
     the capability of the reference's trainable VC layers without the
-    LLR net; Nachmani et al. 2016 style)."""
+    LLR net; Nachmani et al. 2016 style). ``schedule='layered'`` trains
+    weighted serial-C sweeps (round-5: the per-edge family composed
+    with the layered schedule). ``probe_snr_db``: optional SNR points
+    for a held-out decoded-BER probe every ``eval_every`` epochs — the
+    in-loop floor early-warning (include one point beyond the training
+    window); results land in ``info['probe']``."""
     from ldpc_sims_tpu.ops.bp import bp_decode, init_neural_bp_weights
 
     weights = init_weights or init_neural_bp_weights(code, iterations)
@@ -419,6 +468,7 @@ def train_neural_bp(
             p1 = bp_decode(
                 llr, code, iterations=iterations, method=method,
                 clamp=clamp, weights=w, output="soft",
+                schedule=schedule,
             )
             eps = 1e-7
             b = bits.astype(jnp.float32)
@@ -430,10 +480,19 @@ def train_neural_bp(
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(weights, updates), opt_state, loss
 
+    probe = None
+    if probe_snr_db:
+        probe = decoded_ber_probe(
+            code, probe_snr_db, iterations=iterations, method=method,
+            clamp=clamp, schedule=schedule,
+        )
+    probe_key = jax.random.key(cfg.seed + 1)
+
     rng = np.random.default_rng(cfg.seed)
     n = llrs.shape[0]
     num_batches = max(n // cfg.batch_size, 1)
     losses = []
+    probes = []
     for epoch in range(cfg.num_epochs):
         perm = rng.permutation(n)
         for b in range(num_batches):
@@ -443,11 +502,22 @@ def train_neural_bp(
                 jnp.asarray(target_bits[idx]),
             )
             losses.append(float(loss))
-        if log and epoch % cfg.eval_every == 0:
-            log(f"[epoch {epoch + 1}] neural-BP loss: {losses[-1]:.4f}")
+        if epoch % cfg.eval_every == 0:
+            line = f"[epoch {epoch + 1}] neural-BP loss: {losses[-1]:.4f}"
+            if probe is not None:
+                bers = probe(
+                    weights, jax.random.fold_in(probe_key, epoch)
+                )
+                probes.append({"epoch": epoch, "ber": bers})
+                line += "  probe " + " ".join(
+                    f"{s}dB:{v:.2e}" for s, v in bers.items()
+                )
+            if log:
+                log(line)
+    info = {"loss": losses, "probe": probes}
     if ckpt_dir:
-        save_checkpoint(ckpt_dir, weights, {"loss": losses})
-    return weights, {"loss": losses}
+        save_checkpoint(ckpt_dir, weights, info)
+    return weights, info
 
 
 def train_minsum_weights(
@@ -459,6 +529,7 @@ def train_minsum_weights(
     steps: int = 200,
     batch: int = 512,
     clamp: float | None = None,
+    probe_snr_db: tuple[float, ...] = (),
     init_weights: Any | None = None,
     ckpt_dir: str | None = None,
     log: Callable[[str], None] | None = print,
@@ -517,19 +588,41 @@ def train_minsum_weights(
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(weights, updates), opt_state, loss
 
+    probe = None
+    if probe_snr_db:
+        # held-out decoded-BER probe at fixed SNR points, including
+        # (recommended) one beyond the training window — the cheap
+        # in-loop early warning for floor-prone trained schedules
+        # (VERDICT r4 weak #7; the demoted trained-layered-6 would have
+        # shown its 3.5 dB floor here long before the campaign did)
+        probe = decoded_ber_probe(
+            code, probe_snr_db, iterations=iterations, method="min-sum",
+            clamp=clamp, schedule=schedule,
+        )
+    probe_key = jax.random.key(cfg.seed + 1)
+
     key = jax.random.key(cfg.seed)
     losses = []
+    probes = []
     t0 = time.time()
     for i in range(steps):
         weights, opt_state, loss = step(
             weights, opt_state, jax.random.fold_in(key, i)
         )
         losses.append(float(loss))
-        if log and (i % max(steps // 10, 1) == 0 or i == steps - 1):
-            log(
+        if i % max(steps // 10, 1) == 0 or i == steps - 1:
+            line = (
                 f"[step {i + 1}/{steps}] minsum-weight BCE {losses[-1]:.5f}"
                 f" ({time.time() - t0:.0f}s)"
             )
+            if probe is not None:
+                bers = probe(weights, jax.random.fold_in(probe_key, i))
+                probes.append({"step": i, "ber": bers})
+                line += "  probe " + " ".join(
+                    f"{s}dB:{v:.2e}" for s, v in bers.items()
+                )
+            if log:
+                log(line)
     info = {
         "loss": losses,
         "alpha": [float(x) for x in np.asarray(weights["ms_alpha"])],
@@ -537,6 +630,7 @@ def train_minsum_weights(
         "iterations": iterations,
         "schedule": schedule,
         "snr_db": [lo, hi],
+        "probe": probes,
     }
     if ckpt_dir:
         save_checkpoint(ckpt_dir, weights, info)

@@ -80,9 +80,9 @@ def test_layered_outputs(wifi, rng):
 
 def test_layered_rejections(wifi):
     w = init_neural_bp_weights(wifi, 2)
-    with pytest.raises(ValueError, match="layered"):
+    with pytest.raises(ValueError, match="early_stop|early stop"):
         bp_decode(jnp.zeros((4, wifi.n)), wifi, iterations=2,
-                  schedule="layered", weights=w)
+                  schedule="layered", weights=w, early_stop=True)
     with pytest.raises(ValueError, match="roll-backend"):
         bp_decode(jnp.zeros((4, wifi.n)), wifi, iterations=2,
                   schedule="layered", backend="gather")

@@ -171,3 +171,34 @@ def test_train_minsum_weights_improves_ber(rng):
     ber_plain = float(jnp.mean(plain.astype(jnp.float32)))
     ber_trained = float(jnp.mean(trained.astype(jnp.float32)))
     assert ber_trained < ber_plain
+
+
+def test_trainers_emit_decoded_ber_probe(rng):
+    """Both decoder-weight recipes report a held-out decoded-BER probe
+    during training, including points beyond the training window — the
+    in-loop floor early-warning (VERDICT r4 weak #7)."""
+    from ldpc_sims_tpu.training import (
+        TrainConfig,
+        train_minsum_weights,
+        train_neural_bp,
+    )
+
+    w = get_code("wifi648")
+    cfg = TrainConfig(optimizer="adam", learning_rate=0.02, seed=0,
+                      num_epochs=1, batch_size=32, eval_every=1)
+    _, info = train_minsum_weights(
+        w, cfg, iterations=3, schedule="layered", snr_db=(1.5, 2.5),
+        steps=2, batch=32, probe_snr_db=(2.0, 4.0), log=None,
+    )
+    assert info["probe"], "minsum probe missing"
+    bers = info["probe"][-1]["ber"]
+    assert set(bers) == {2.0, 4.0}
+    assert all(0.0 <= v <= 0.5 for v in bers.values())
+    # per-edge recipe, layered schedule
+    llr = np.asarray(_llr(rng, w, batch=64, snr_db=2.0))
+    bits = np.zeros((64, w.n), np.int8)
+    _, info2 = train_neural_bp(
+        w, llr, bits, cfg, iterations=3, method="min-sum",
+        schedule="layered", probe_snr_db=(2.0, 4.0), log=None,
+    )
+    assert info2["probe"] and set(info2["probe"][-1]["ber"]) == {2.0, 4.0}
