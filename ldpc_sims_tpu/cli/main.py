@@ -172,6 +172,39 @@ def _link_cfg_from_args(args, **over) -> LinkConfig:
     return LinkConfig(**fields)
 
 
+def _decoder_weights_from_args(args):
+    """--weights-ckpt: trained decoder-weight pytree (npz or ckpt dir)."""
+    path = getattr(args, "weights_ckpt", "")
+    if not path:
+        return None
+    from ldpc_sims_tpu.utils import load_decoder_weights
+
+    return load_decoder_weights(path)
+
+
+def _apply_schedule_ckpt(args, link: LinkConfig) -> LinkConfig:
+    """--schedule-ckpt: freeze a trained (ms_alpha, ms_beta) checkpoint
+    into the link's static per-iteration alpha/beta tuples (runs on the
+    Pallas fast path, unlike a traced ms pytree)."""
+    path = getattr(args, "schedule_ckpt", "")
+    if not path:
+        return link
+    from ldpc_sims_tpu.utils import load_decoder_weights
+
+    ms = load_decoder_weights(path)
+    if not {"ms_alpha", "ms_beta"} <= set(ms):
+        raise SystemExit(
+            f"--schedule-ckpt {path} holds {sorted(ms)}; expected a "
+            "train-minsum checkpoint with ms_alpha/ms_beta (per-edge "
+            "weight pytrees go to --weights-ckpt)"
+        )
+    return dataclasses.replace(
+        link,
+        alpha=tuple(float(x) for x in np.asarray(ms["ms_alpha"])),
+        beta=tuple(float(x) for x in np.asarray(ms["ms_beta"])),
+    )
+
+
 def cmd_sweep(args) -> None:
     from ldpc_sims_tpu.parallel import (
         SweepConfig,
@@ -202,6 +235,8 @@ def cmd_sweep(args) -> None:
         )
         grids = (args.msg_qbits if args.msg_qbits > 0 else None,)
 
+    link = _apply_schedule_ckpt(args, link)
+    weights = _decoder_weights_from_args(args)
     os.makedirs(args.out, exist_ok=True)
     stamp = time.strftime("%Y%m%d-%H%M%S")
     for qb in grids:
@@ -218,8 +253,8 @@ def cmd_sweep(args) -> None:
             if getattr(args, "profile", False) else None
         )
         with profile_trace(trace_dir):
-            result = run_sweep(code, link_q, sweep, manifest_path=manifest,
-                               metrics=metrics)
+            result = run_sweep(code, link_q, sweep, weights=weights,
+                               manifest_path=manifest, metrics=metrics)
         if trace_dir:
             print(f"profiler trace -> {trace_dir}")
         out = {
@@ -470,7 +505,9 @@ def cmd_evaluate(args) -> None:
         snrdb=_snr_grid(args, code), num_codewords=args.batch,
         with_snr_feature=snr_feature, tanh_model=tanh, seed=args.seed,
     )
-    curves = evaluate_sweep(code, link, ec, model=model, params=params)
+    link = _apply_schedule_ckpt(args, link)
+    curves = evaluate_sweep(code, link, ec, model=model, params=params,
+                            weights=_decoder_weights_from_args(args))
     os.makedirs(args.out, exist_ok=True)
     stamp = time.strftime("%Y%m%d-%H%M%S")
     path = os.path.join(args.out, f"{stamp}_eval.json")
@@ -638,6 +675,15 @@ def _add_common(sp: argparse.ArgumentParser) -> None:
                          "(1 = serial-C; pallas only)")
     sp.add_argument("--snr-unit", default="es", choices=["es", "eb"],
                     help="interpret --snr as symbol SNR (es) or Eb/N0 (eb)")
+    sp.add_argument("--weights-ckpt", default="",
+                    help="trained decoder-weight pytree (.npz or a "
+                         "train-minsum/train_neural_bp checkpoint dir); "
+                         "the sweep/eval decodes with exactly these "
+                         "weights (per-edge neural BP, ms pytrees)")
+    sp.add_argument("--schedule-ckpt", default="",
+                    help="train-minsum checkpoint whose (ms_alpha, "
+                         "ms_beta) freeze into static per-iteration "
+                         "--bp-alpha/--bp-beta (Pallas fast path)")
     sp.add_argument("--seed", type=int, default=0)
     sp.add_argument("--out", default="outputs")
 

@@ -62,6 +62,7 @@ def evaluate_sweep(
     eval_cfg: EvalConfig,
     model=None,
     params: Any | None = None,
+    weights: Any | None = None,
     log: Callable[[str], None] | None = print,
     mesh=None,
 ) -> dict[str, list]:
@@ -70,6 +71,13 @@ def evaluate_sweep(
     With ``model=None`` only the Traditional (and quantized, if
     ``link_cfg.qbits``) curves are produced — the ``ber_test.py`` classic
     sweep. With a model, adds the NN curves and WMSE.
+
+    ``weights``: optional trained decoder-weight pytree (per-edge
+    neural-BP / differentiable ms families,
+    ``utils.load_decoder_weights``) applied to EVERY decode in the
+    sweep — the evaluator always runs exactly the decoder that was
+    trained, the reference's train/evaluate symmetry
+    (``evaluate_snr.py:100-133``).
 
     The per-point step is sharded over the device mesh like
     ``run_sweep``: the key fans out per device inside the jit, counts
@@ -124,9 +132,13 @@ def evaluate_sweep(
                 early_stop=link_cfg.early_stop,
                 es_mode=link_cfg.es_mode,
                 es_check_every=link_cfg.es_check_every,
+                es_probe_iters=link_cfg.es_probe_iters,
+                es_probe_alpha=link_cfg.es_probe_alpha,
+                es_probe_beta=link_cfg.es_probe_beta,
                 layered_group=link_cfg.bp_layered_group,
                 msg_qbits=link_cfg.msg_qbits, msg_qclip=link_cfg.msg_qclip,
                 schedule=link_cfg.bp_schedule,
+                weights=weights,
             )
             err = jnp.sum(
                 (bits[:, :k] != coded[:, :k]).astype(jnp.int32), axis=1

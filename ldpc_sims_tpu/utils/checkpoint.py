@@ -20,7 +20,12 @@ import flax.serialization
 import jax
 import numpy as np
 
-__all__ = ["save_checkpoint", "load_checkpoint", "latest_checkpoint"]
+__all__ = [
+    "save_checkpoint",
+    "load_checkpoint",
+    "latest_checkpoint",
+    "load_decoder_weights",
+]
 
 
 def _jsonable(x: Any) -> Any:
@@ -58,6 +63,44 @@ def load_checkpoint(path: str, template: Any) -> tuple[Any, dict[str, Any]]:
         with open(manifest_path) as f:
             manifest = json.load(f)
     return tree, manifest
+
+
+def load_decoder_weights(path: str) -> dict[str, np.ndarray]:
+    """Load a trained decoder-weight pytree for ``bp_decode(weights=)``.
+
+    Accepts either a ``.npz`` file (flat arrays, e.g. the committed
+    ``edge_layered_1944_K*.npz`` artifacts) or a checkpoint directory
+    written by ``train_neural_bp`` / ``train_minsum_weights`` (msgpack
+    restored structure-free). This is what lets ``cli sweep/evaluate
+    --weights-ckpt`` reproduce a trained decoder's production curve —
+    the train/evaluate symmetry of the reference's evaluators
+    (``evaluate_snr.py:100-133`` always evaluated exactly the weights
+    it loaded).
+    """
+    known = {
+        "w_msg", "w_llr", "w_msg_final", "w_llr_final", "w_pair",
+        "ms_alpha", "ms_beta",
+    }
+    if path.endswith(".npz"):
+        z = np.load(path)
+        tree = {k: z[k] for k in z.files}
+    else:
+        with open(os.path.join(path, "params.msgpack"), "rb") as f:
+            tree = flax.serialization.from_bytes(None, f.read())
+        if not isinstance(tree, dict):
+            raise ValueError(
+                f"checkpoint {path} does not hold a weight dict"
+            )
+        if "params" in tree and not (known & set(tree)):
+            tree = tree["params"]
+    bad = set(tree) - known
+    if bad or not tree:
+        raise ValueError(
+            f"{path} holds keys {sorted(tree)}; expected decoder-weight "
+            f"keys from {sorted(known)} (is this an LLR-model "
+            "checkpoint? those go to --ckpt, not --weights-ckpt)"
+        )
+    return {k: np.asarray(v) for k, v in tree.items()}
 
 
 def latest_checkpoint(root: str, prefix: str = "") -> str | None:

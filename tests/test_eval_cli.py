@@ -56,6 +56,89 @@ def test_evaluate_sweep_with_model():
     assert "coded_ber_nn" in curves and "wmse_nn" in curves
 
 
+def test_evaluate_sweep_forwards_probe_budget():
+    """A probe-mode eval must honor the configured es_probe budget
+    instead of silently running the default (advisor/VERDICT r4 #2):
+    an absurd probe schedule (alpha=0 probe, i.e. the probe decodes
+    nothing) must still produce the FULL-budget curve — which is only
+    possible if es_probe_alpha actually reaches the decoder."""
+    from ldpc_sims_tpu.codes import get_code
+
+    code = get_code("wifi648")
+    base = dict(bp_iterations=8, bp_method="min-sum", clamp=None,
+                bp_schedule="layered")
+    ec = EvalConfig(snrdb=(2.0,), num_codewords=256)
+    plain = evaluate_sweep(code, LinkConfig(**base), ec, log=None)
+    probe = evaluate_sweep(
+        code,
+        LinkConfig(**base, early_stop=True, es_mode="probe",
+                   es_probe_iters=2,
+                   es_probe_alpha=(0.0, 0.0), es_probe_beta=(0.0, 0.0)),
+        ec, log=None,
+    )
+    # zero-alpha probe converges nothing -> every frame re-decodes at
+    # the full budget; BER must track the fixed decode, not the probe
+    assert probe["coded_ber"][0] <= plain["coded_ber"][0] * 1.5 + 1e-4
+
+
+def test_evaluate_sweep_with_decoder_weights():
+    """evaluate_sweep(weights=) runs the learned decoder through the
+    production evaluator (VERDICT r4 #2): zeroed LLR weights destroy
+    the decode — proof the weights reach every decode call."""
+    from ldpc_sims_tpu.codes import get_code
+    from ldpc_sims_tpu.ops.bp import init_neural_bp_weights
+
+    code = get_code("wifi648")
+    link = LinkConfig(bp_iterations=4, bp_method="min-sum", clamp=None)
+    ec = EvalConfig(snrdb=(3.0,), num_codewords=256)
+    ones = init_neural_bp_weights(code, 4)
+    good = evaluate_sweep(code, link, ec, weights=ones, log=None)
+    broken = evaluate_sweep(
+        code, link, ec,
+        weights={k: (np.zeros_like(v) if k.startswith("w_llr") else v)
+                 for k, v in ones.items()},
+        log=None,
+    )
+    assert good["coded_ber"][0] < 1e-2
+    assert broken["coded_ber"][0] > 0.2  # posterior without LLRs ~ coin
+
+
+def test_cli_weights_and_schedule_ckpt(tmp_path):
+    """cli sweep --weights-ckpt (npz) and --schedule-ckpt (train-minsum
+    checkpoint dir) reproduce trained decoders from the command line."""
+    from ldpc_sims_tpu.codes import get_code
+    from ldpc_sims_tpu.ops.bp import init_neural_bp_weights
+    from ldpc_sims_tpu.utils import load_decoder_weights, save_checkpoint
+
+    out = str(tmp_path)
+    code = get_code("wifi648")
+    w = init_neural_bp_weights(code, 4)
+    npz = os.path.join(out, "w.npz")
+    np.savez(npz, **{k: np.asarray(v) for k, v in w.items()})
+    main([
+        "sweep", "--code", "wifi648", "--method", "min-sum", "--clamp",
+        "0", "--iters", "4", "--snr", "3", "--batch", "256",
+        "--target-errors", "1", "--max-bits", "200000", "--out", out,
+        "--weights-ckpt", npz,
+    ])
+    assert any(f.endswith("_curves.json") for f in os.listdir(out))
+    # schedule ckpt: a saved ms pytree freezes into static alpha/beta
+    ck = os.path.join(out, "ms_ckpt")
+    save_checkpoint(ck, {"ms_alpha": np.full(4, 0.8, np.float32),
+                         "ms_beta": np.zeros(4, np.float32)})
+    main([
+        "evaluate", "--code", "wifi648", "--method", "min-sum",
+        "--clamp", "0", "--iters", "4", "--snr", "3", "--batch", "256",
+        "--out", out, "--schedule-ckpt", ck,
+    ])
+    assert any(f.endswith("_eval.json") for f in os.listdir(out))
+    # loader rejects non-decoder trees with a pointed message
+    bad = os.path.join(out, "bad_ckpt")
+    save_checkpoint(bad, {"params": {"dense": {"kernel": np.ones(3)}}})
+    with pytest.raises(ValueError, match="LLR-model"):
+        load_decoder_weights(bad)
+
+
 def test_cli_sweep_and_data(tmp_path):
     out = str(tmp_path)
     main([
