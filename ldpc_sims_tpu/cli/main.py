@@ -655,11 +655,13 @@ def _add_common(sp: argparse.ArgumentParser) -> None:
                     choices=["global", "per-symbol"])
     sp.add_argument("--early-stop", action="store_true")
     sp.add_argument("--es-mode", default="freeze",
-                    choices=["freeze", "requeue", "probe"],
+                    choices=["freeze", "requeue", "probe", "auto"],
                     help="early-stop strategy (requeue: ES probe + "
                          "re-decode packed stragglers; probe: FIXED "
-                         "fast probe + MXU syndrome + packed requeue "
-                         "— the one that wins; pallas/TPU only)")
+                         "fast probe + fused in-kernel syndrome + "
+                         "packed requeue; auto: the sweep times fixed "
+                         "vs probe per SNR point and keeps the faster "
+                         "— pallas/TPU only)")
     sp.add_argument("--es-probe-iters", type=int, default=4,
                     help="probe budget for --es-mode requeue/probe")
     sp.add_argument("--es-probe-alpha", default="", type=str,

@@ -4,6 +4,7 @@ from ldpc_sims_tpu.codes.library import (  # noqa: F401
     LdpcCode,
     QcStructure,
     get_code,
+    list_codes,
     make_regular_ldpc,
     reference_6432,
 )

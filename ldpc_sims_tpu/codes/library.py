@@ -225,8 +225,20 @@ def make_regular_ldpc(
     return LdpcCode(name=f"peg{n}_{n - m}", H=H)
 
 
+def list_codes() -> list[str]:
+    """Registered code names (see :func:`get_code`)."""
+    return sorted(_registry())
+
+
 def get_code(name: str) -> LdpcCode:
     """Named code registry used by configs and the CLI."""
+    registry = _registry()
+    if name not in registry:
+        raise KeyError(f"unknown code {name!r}; have {sorted(registry)}")
+    return registry[name]()
+
+
+def _registry() -> dict:
     from ldpc_sims_tpu.codes import qc_construct, wifi
 
     def qc(z, mb, nm):
@@ -251,6 +263,4 @@ def get_code(name: str) -> LdpcCode:
         "qc1944_r34": qc(81, 6, "qc1944_r34"),
         "qc1944_r56": qc(81, 4, "qc1944_r56"),
     }
-    if name not in registry:
-        raise KeyError(f"unknown code {name!r}; have {sorted(registry)}")
-    return registry[name]()
+    return registry

@@ -121,6 +121,7 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                   with_done_in: bool = False,
                   with_ab: bool = False,
                   with_weights: bool = False,
+                  with_unsat: bool = False,
                   msg_qbits: int | None = None,
                   msg_qclip: float = 20.0,
                   schedule: str = "flooding",
@@ -185,6 +186,12 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
             wm_ref, wl_ref, *rest = rest
         if early_stop:
             out_ref, iters_ref, msg_ref, post_ref = rest
+        elif with_unsat:
+            # fused syndrome epilogue: the probe pass emits per-lane
+            # unsatisfied-check counts straight from the VMEM-resident
+            # posterior, replacing the separate MXU syndrome pass (and
+            # its HBM round trip) between the probe and the requeue
+            out_ref, unsat_ref, msg_ref, post_ref = rest
         else:
             out_ref, msg_ref, post_ref = rest
         # llr_ref/out_ref/post_ref: (nb, z, T); msg_ref: (mb, dc_max, z, T)
@@ -505,6 +512,8 @@ def _build_kernel(qc: QcStructure, iterations: int, alpha: float,
                     return carry
 
                 jax.lax.fori_loop(0, iterations, one_iteration, 0)
+                if with_unsat:
+                    unsat_ref[...] = syndrome_unsat()
 
             for j in range(nb):
                 out_ref[j] = post_ref[j]
@@ -660,6 +669,11 @@ def bp_qc_pallas(
         raise ValueError(f"unknown schedule {schedule!r}")
     if output == "hard_iters" and not early_stop:
         raise ValueError("output='hard_iters' requires early_stop=True")
+    if output == "hard_unsat" and early_stop:
+        raise ValueError(
+            "output='hard_unsat' is the fixed-decode fused-syndrome "
+            "path; early_stop computes syndromes already"
+        )
     if es_check_every < 1 or iterations % es_check_every:
         raise ValueError(
             f"es_check_every={es_check_every} must divide "
@@ -690,11 +704,12 @@ def bp_qc_pallas(
                 "kernel weights must be the edge flavor "
                 f"(missing {missing or 'nothing'}; w_pair unsupported)"
             )
+    with_unsat = output == "hard_unsat"
     kernel, (mb, dc_max, nb, z) = _build_kernel(
         qc, iterations, alpha, beta, method, clamp,
         early_stop=early_stop, es_check_every=es_check_every,
         with_done_in=done_in is not None, with_ab=with_ab,
-        with_weights=weights is not None,
+        with_weights=weights is not None, with_unsat=with_unsat,
         msg_qbits=msg_qbits, msg_qclip=msg_qclip,
         schedule=schedule, layered_group=layered_group, dtype=dtype,
     )
@@ -763,7 +778,8 @@ def bp_qc_pallas(
         pl.BlockSpec((nb, z, tile), lambda b: (0, 0, b),
                      memory_space=pltpu.VMEM),
     ]
-    if early_stop:
+    two_outs = early_stop or with_unsat
+    if two_outs:
         out_shape.append(jax.ShapeDtypeStruct((1, B), jnp.int32))
         out_specs.append(
             pl.BlockSpec((1, tile), lambda b: (0, b),
@@ -773,8 +789,8 @@ def bp_qc_pallas(
         kernel,
         grid=(B // tile,),
         in_specs=in_specs,
-        out_specs=tuple(out_specs) if early_stop else out_specs[0],
-        out_shape=tuple(out_shape) if early_stop else out_shape[0],
+        out_specs=tuple(out_specs) if two_outs else out_specs[0],
+        out_shape=tuple(out_shape) if two_outs else out_shape[0],
         scratch_shapes=[
             pltpu.VMEM((mb, dc_max, z, tile), dtype),
             pltpu.VMEM((nb, z, tile), pdtype),
@@ -783,14 +799,14 @@ def bp_qc_pallas(
         interpret=interpret,
     )(*operands)
 
-    post = outs[0] if early_stop else outs
-    iters = outs[1][0] if early_stop else None  # (B,) int32
+    post = outs[0] if two_outs else outs
+    aux = outs[1][0] if two_outs else None  # (B,) int32
 
     if output == "posterior":
         return (-post).reshape(n, B).T.astype(jnp.float32)
     bits = (post.reshape(n, B) < 0).astype(jnp.int8).T
-    if output == "hard_iters":
-        return bits, iters
+    if output in ("hard_iters", "hard_unsat"):
+        return bits, aux
     return bits
 
 
@@ -885,14 +901,6 @@ def bp_qc_requeue(
     return bits
 
 
-@functools.lru_cache(maxsize=16)
-def _qc_H_T(qc: QcStructure) -> np.ndarray:
-    """Dense Hᵀ int8 for the XLA syndrome matmul (constant, cached)."""
-    from ldpc_sims_tpu.codes.wifi import expand_qc
-
-    return expand_qc(np.asarray(qc.base), qc.z).T.astype(np.int8)
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("qc", "iterations", "probe_iters", "method",
@@ -974,23 +982,19 @@ def bp_qc_probe_requeue(
             raise ValueError(
                 f"{nm} has {len(t)} entries for probe_iters={probe_iters}"
             )
-    bits1 = bp_qc_pallas(
+    # fused syndrome: the probe kernel's epilogue emits per-lane
+    # unsatisfied-check counts straight from its VMEM-resident posterior
+    # (round-5; previously a separate MXU syndrome matmul between the
+    # passes cost an extra dispatch + a 64 MB bits1 HBM read at
+    # batch 32k — part of the 5-7 ms/step inter-pass overhead diagnosed
+    # in docs/artifacts/20260821_es_probe_note.md)
+    bits1, unsat = bp_qc_pallas(
         llr, qc, iterations=probe_iters, method=method, alpha=pa,
         beta=pb, clamp=clamp, msg_qbits=msg_qbits, msg_qclip=msg_qclip,
         schedule=schedule, layered_group=layered_group, tile=tile,
-        output="hard", dtype=dtype, interpret=interpret,
+        output="hard_unsat", dtype=dtype, interpret=interpret,
     )
-    # f32 MXU matmul, not int8: integer dot_general has no MXU path on
-    # TPU (lowers to slow vector code). 0/1 operands are bf16-exact and
-    # the row sums are small integers, so even the single-pass DEFAULT
-    # precision is exact here.
-    s = jax.lax.dot_general(
-        bits1.astype(jnp.float32),
-        jnp.asarray(_qc_H_T(qc), jnp.float32),
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.int32) & 1
-    done = jnp.all(s == 0, axis=1)  # (B,)
+    done = unsat == 0  # (B,)
     # Compact requeue: gathering/re-decoding the FULL sorted batch costs
     # ~10 ms/step at (1944,972) batch 32k (measured: 4.6 ms for the
     # 255 MB llr gather + 5.4 ms of whole-grid DMA/dispatch even with

@@ -458,7 +458,14 @@ def bp_decode(
     if early_stop and weights is not None:
         raise ValueError("early_stop with neural-BP weights is unsupported")
     if es_mode not in ("freeze", "requeue", "probe"):
-        raise ValueError(f"unknown es_mode {es_mode!r}")
+        hint = (
+            " (es_mode='auto' is a sweep-driver dispatch — run_sweep "
+            "times fixed vs probe per SNR point; the decoder itself "
+            "only takes concrete modes)"
+            if es_mode == "auto"
+            else ""
+        )
+        raise ValueError(f"unknown es_mode {es_mode!r}{hint}")
     # per-iteration weighted min-sum: static tuple alpha/beta (inference,
     # every backend incl. pallas) or the differentiable ms_alpha/ms_beta
     # pytree keys (training; roll/dense/gather, unrolled)

@@ -51,9 +51,11 @@ class LinkConfig:
     beta: float | tuple[float, ...] = 0.0
     early_stop: bool = False
     # 'requeue' = ES probe + pack stragglers; 'probe' = FIXED fast probe
-    # (optionally a trained schedule) + one MXU syndrome + packed
-    # full-budget requeue — the adaptive mode that beats the fixed
-    # pipeline (kernels.minsum_qc.bp_qc_probe_requeue). Both pallas.
+    # (optionally a trained schedule) + fused in-kernel syndrome +
+    # packed full-budget requeue (kernels.minsum_qc.bp_qc_probe_requeue,
+    # pallas); 'auto' = run_sweep times fixed-vs-probe on each point's
+    # first chunks and sticks with the winner (driver-level dispatch —
+    # bp_decode itself rejects 'auto').
     es_mode: str = "freeze"
     es_check_every: int = 1  # syndrome-check stride (pallas)
     es_probe_iters: int = 4  # probe budget for es_mode requeue/probe

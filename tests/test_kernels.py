@@ -576,6 +576,30 @@ def test_log1mexp_matches_expm1_form():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def test_pallas_hard_unsat_epilogue(rng):
+    """output='hard_unsat': the fixed decode's fused syndrome epilogue
+    (round-5 — replaces the MXU syndrome pass between the probe and the
+    requeue) must agree exactly with an external syndrome of the
+    returned bits."""
+    from ldpc_sims_tpu.kernels.minsum_qc import bp_qc_pallas
+    from ldpc_sims_tpu.ops.bp import syndrome
+
+    w = get_code("wifi648")
+    snr = 10 ** (2.0 / 10.0)
+    sigma = (1 / snr) ** 0.5
+    r = 1.0 + sigma * rng.normal(0, 1, (128, w.n))
+    llr = jnp.asarray(-2.0 * r / (sigma * sigma), jnp.float32)
+    bits, unsat = bp_qc_pallas(llr, w.qc, iterations=4,
+                               schedule="layered", output="hard_unsat",
+                               interpret=True)
+    s_ext = np.array(syndrome(jnp.asarray(np.array(bits)), w.H)).sum(1)
+    np.testing.assert_array_equal(np.array(unsat), s_ext)
+    assert (np.array(unsat) == 0).any() and (np.array(unsat) > 0).any()
+    with pytest.raises(ValueError, match="hard_unsat"):
+        bp_qc_pallas(llr, w.qc, iterations=4, early_stop=True,
+                     output="hard_unsat", interpret=True)
+
+
 def test_probe_requeue_mode(rng):
     """es_mode='probe' (VERDICT r3 #5): fixed fast probe + MXU syndrome
     + compact packed requeue. Stragglers must match the plain
