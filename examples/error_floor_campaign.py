@@ -56,6 +56,7 @@ ART_DIR = os.path.join(
 )
 REG_PATH = os.path.join(ART_DIR, "minsum_trained_schedules.json")
 
+CODE = os.environ.get("EF_CODE", "wifi1944")
 SNRS = tuple(
     float(x) for x in os.environ.get("EF_SNRS", "2.5,3.0,3.5").split(",")
 )
@@ -146,7 +147,7 @@ def run_point(code, name, decode_kw, snr_db, pidx):
 
 def main() -> None:
     log(f"compilation cache: {enable_compilation_cache()}")
-    code = get_code("wifi1944")
+    code = get_code(CODE)
     log(f"device: {jax.devices()[0]}, code: {code}, batch={BATCH}")
 
     schedules = [
@@ -157,7 +158,7 @@ def main() -> None:
     if os.path.exists(REG_PATH):
         reg = json.load(open(REG_PATH))
         for kstr, ent in sorted(
-            reg.get("wifi1944", {}).get("layered", {}).items(), key=lambda kv: int(kv[0])
+            reg.get(CODE, {}).get("layered", {}).items(), key=lambda kv: int(kv[0])
         ):
             al = tuple(float(x) for x in ent["alpha"])
             be = tuple(float(x) for x in ent["beta"])
@@ -178,6 +179,23 @@ def main() -> None:
                      es_probe_alpha=al, es_probe_beta=be,
                      backend="pallas"),
             ))
+    # trained per-edge (+alpha/beta) layered decoders (round 5): the
+    # campaign is what would grant them floor_ok; guard-parity failures
+    # are still run here so the registry carries their floor data
+    import numpy as np
+
+    for kstr, ent in sorted(
+        reg.get(CODE, {}).get("edge_layered", {}).items(),
+        key=lambda kv: int(kv[0]),
+    ):
+        z = np.load(os.path.join(ART_DIR, ent["weights_npz"]))
+        wts = {k: z[k] for k in z.files if k.startswith("w_")}
+        kw = dict(iterations=int(kstr), schedule="layered", weights=wts,
+                  backend="pallas")
+        if ent.get("alpha"):
+            kw["alpha"] = tuple(float(x) for x in ent["alpha"])
+            kw["beta"] = tuple(float(x) for x in ent["beta"])
+        schedules.append((f"edge-layered-{kstr}", kw))
     schedules.append((
         "probe-plain4-20",
         dict(iterations=20, schedule="layered", early_stop=True,
@@ -193,7 +211,8 @@ def main() -> None:
         out_path = resume
     else:
         stamp = time.strftime("%Y%m%d-%H%M%S")
-        out_path = os.path.join(ART_DIR, f"{stamp}_error_floor.json")
+        tag = "" if CODE == "wifi1944" else f"_{CODE}"
+        out_path = os.path.join(ART_DIR, f"{stamp}_error_floor{tag}.json")
     # EF_CTRL_FROM=<artifact>: import the paired control points from an
     # earlier campaign run instead of re-simulating them — valid because
     # point keys depend only on (base key, point index), never on the
@@ -223,7 +242,7 @@ def main() -> None:
             )
             with open(out_path, "w") as f:
                 json.dump({
-                    "code": "wifi1944", "batch": BATCH,
+                    "code": CODE, "batch": BATCH,
                     "target_info_bits": TARGET_BITS,
                     "paired": True, "points": results,
                 }, f, indent=1)
@@ -255,7 +274,7 @@ def main() -> None:
 
     with open(out_path, "w") as f:
         json.dump({
-            "code": "wifi1944", "batch": BATCH,
+            "code": CODE, "batch": BATCH,
             "target_info_bits": TARGET_BITS, "paired": True,
             "points": results, "verdicts": verdicts,
         }, f, indent=1)
@@ -263,15 +282,16 @@ def main() -> None:
 
     # fold floor_ok back into the schedule registry for bench.py
     if reg:
-        layered = reg.get("wifi1944", {}).get("layered", {})
-        for kstr, ent in layered.items():
-            vs = verdicts.get(f"trained-layered-{kstr}")
-            if vs:
-                ent["floor_ok"] = all(v["floor_ok"] for v in vs)
-                ent["floor_points_db"] = [v["snr_db"] for v in vs]
+        for fam, prefix in (("layered", "trained-layered-"),
+                            ("edge_layered", "edge-layered-")):
+            for kstr, ent in reg.get(CODE, {}).get(fam, {}).items():
+                vs = verdicts.get(f"{prefix}{kstr}")
+                if vs:
+                    ent["floor_ok"] = all(v["floor_ok"] for v in vs)
+                    ent["floor_points_db"] = [v["snr_db"] for v in vs]
         vs = verdicts.get("layered-10")
         if vs is not None:
-            reg.setdefault("wifi1944", {})["layered_plain_floor_ok"] = all(
+            reg.setdefault(CODE, {})["layered_plain_floor_ok"] = all(
                 v["floor_ok"] for v in vs
             )
         with open(REG_PATH, "w") as f:

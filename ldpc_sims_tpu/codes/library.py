@@ -262,5 +262,18 @@ def _registry() -> dict:
         "qc1944_r23": qc(81, 8, "qc1944_r23"),
         "qc1944_r34": qc(81, 6, "qc1944_r34"),
         "qc1944_r56": qc(81, 4, "qc1944_r56"),
+        # 5G-class scale envelope (VERDICT r4 #6): n ≈ 8.4k at z=256
+        # (rate 17/33 ≈ 0.515) and n = 12.3k at z=512 — the largest
+        # codes the VMEM-resident kernel carries (f32 at n=8448;
+        # bf16/int8 message storage at n=12288, where halving/quartering
+        # message VMEM is what makes the plan fit — the realized win of
+        # the sub-f32 storage modes). Same girth-aware construction and
+        # provenance caveat as the other qc* codes.
+        "qc8448_r12": lambda: qc_construct.make_qc_code(
+            256, 16, 33, seed=7, name="qc8448_r12"
+        ),
+        "qc12288_r12": lambda: qc_construct.make_qc_code(
+            512, 12, 24, seed=7, name="qc12288_r12"
+        ),
     }
     return registry

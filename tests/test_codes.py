@@ -138,3 +138,37 @@ def test_qc_base_file_loader(tmp_path):
     p.write_text("# comment\n" + "\n".join(lines) + "\n")
     c2 = load_qc_base(str(p), name="reload")
     np.testing.assert_array_equal(c.H, c2.H)
+
+
+def test_big_codes_listed():
+    from ldpc_sims_tpu.codes import list_codes
+
+    names = list_codes()
+    assert "qc8448_r12" in names and "qc12288_r12" in names
+
+
+@pytest.mark.slow
+def test_big_qc_codes_construct_and_decode():
+    """5G-class scale envelope (VERDICT r4 #6): the z>=256 constructions
+    are full-rank, encodable, QC-structured, and decode on the roll
+    backend."""
+    import jax.numpy as jnp
+
+    from ldpc_sims_tpu.codes import get_code
+    from ldpc_sims_tpu.ops.bp import bp_decode
+
+    rng = np.random.default_rng(0)
+    for name, n, z in (("qc8448_r12", 8448, 256),
+                       ("qc12288_r12", 12288, 512)):
+        c = get_code(name)
+        assert c.n == n and c.qc is not None and c.qc.z == z
+        u = rng.integers(0, 2, (4, c.k)).astype(np.uint8)
+        cw = c.encode_np(u)
+        assert (c.H.astype(np.int64) @ cw.T % 2 == 0).all()
+        llr = jnp.asarray(
+            (2.0 * cw - 1.0) * 4.0 + rng.normal(0, 1, cw.shape),
+            jnp.float32,
+        )
+        bits = bp_decode(llr, c, iterations=8, method="min-sum",
+                         backend="roll")
+        np.testing.assert_array_equal(np.array(bits), cw)
