@@ -444,6 +444,7 @@ def train_neural_bp(
     clamp: float = 20.0,
     schedule: str = "flooding",
     probe_snr_db: tuple[float, ...] = (),
+    probe_batch: int = 512,
     init_weights: Any | None = None,
     ckpt_dir: str | None = None,
     log: Callable[[str], None] | None = print,
@@ -483,8 +484,8 @@ def train_neural_bp(
     probe = None
     if probe_snr_db:
         probe = decoded_ber_probe(
-            code, probe_snr_db, iterations=iterations, method=method,
-            clamp=clamp, schedule=schedule,
+            code, probe_snr_db, batch=probe_batch, iterations=iterations,
+            method=method, clamp=clamp, schedule=schedule,
         )
     probe_key = jax.random.key(cfg.seed + 1)
 
@@ -530,6 +531,7 @@ def train_minsum_weights(
     batch: int = 512,
     clamp: float | None = None,
     probe_snr_db: tuple[float, ...] = (),
+    probe_batch: int = 512,
     init_weights: Any | None = None,
     ckpt_dir: str | None = None,
     log: Callable[[str], None] | None = print,
@@ -596,8 +598,8 @@ def train_minsum_weights(
         # (VERDICT r4 weak #7; the demoted trained-layered-6 would have
         # shown its 3.5 dB floor here long before the campaign did)
         probe = decoded_ber_probe(
-            code, probe_snr_db, iterations=iterations, method="min-sum",
-            clamp=clamp, schedule=schedule,
+            code, probe_snr_db, batch=probe_batch, iterations=iterations,
+            method="min-sum", clamp=clamp, schedule=schedule,
         )
     probe_key = jax.random.key(cfg.seed + 1)
 

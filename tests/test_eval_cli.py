@@ -65,9 +65,9 @@ def test_evaluate_sweep_forwards_probe_budget():
     from ldpc_sims_tpu.codes import get_code
 
     code = get_code("wifi648")
-    base = dict(bp_iterations=8, bp_method="min-sum", clamp=None,
+    base = dict(bp_iterations=6, bp_method="min-sum", clamp=None,
                 bp_schedule="layered")
-    ec = EvalConfig(snrdb=(2.0,), num_codewords=256)
+    ec = EvalConfig(snrdb=(2.0,), num_codewords=128)
     plain = evaluate_sweep(code, LinkConfig(**base), ec, log=None)
     probe = evaluate_sweep(
         code,

@@ -417,6 +417,7 @@ def test_pallas_es_check_every(rng):
     assert np.all(s[conv] == 0)
 
 
+@pytest.mark.slow  # es_mode=requeue also covered by test_pallas_requeue_dispatch
 def test_pallas_requeue_matches_fixed(rng):
     """Probe+requeue returns the same bits as the fixed-budget decode
     (converged lanes are syndrome-clean freezes; stragglers restart from
@@ -530,6 +531,7 @@ def test_pallas_grouped_layered_endpoints(rng):
     assert not np.allclose(p3, p1, atol=1e-4)
 
 
+@pytest.mark.slow  # grouped layered endpoints test stays in the fast lane
 def test_pallas_grouped_layered_convergence_order(rng):
     """Mean early-stop iterations: layered <= grouped <= flooding."""
     from ldpc_sims_tpu.kernels import bp_qc_pallas
@@ -683,6 +685,7 @@ def test_probe_mode_rejects_inert_es_check_every():
                   es_check_every=2, backend="pallas")
 
 
+@pytest.mark.slow  # 64s of interpret compiles; int8 covered by artifacts + bigcode run
 def test_int8_message_storage(rng):
     """int8 message storage (VERDICT r3 #8): messages live on the
     255-level grid over ±msg_qclip in VMEM (quarter of f32); channel

@@ -188,7 +188,8 @@ def test_trainers_emit_decoded_ber_probe(rng):
                       num_epochs=1, batch_size=32, eval_every=1)
     _, info = train_minsum_weights(
         w, cfg, iterations=3, schedule="layered", snr_db=(1.5, 2.5),
-        steps=2, batch=32, probe_snr_db=(2.0, 4.0), log=None,
+        steps=2, batch=32, probe_snr_db=(2.0, 4.0), probe_batch=64,
+        log=None,
     )
     assert info["probe"], "minsum probe missing"
     bers = info["probe"][-1]["ber"]
@@ -198,7 +199,8 @@ def test_trainers_emit_decoded_ber_probe(rng):
     llr = np.asarray(_llr(rng, w, batch=64, snr_db=2.0))
     bits = np.zeros((64, w.n), np.int8)
     _, info2 = train_neural_bp(
-        w, llr, bits, cfg, iterations=3, method="min-sum",
-        schedule="layered", probe_snr_db=(2.0, 4.0), log=None,
+        w, llr, bits, cfg, iterations=2, method="min-sum",
+        schedule="layered", probe_snr_db=(2.0, 4.0), probe_batch=64,
+        log=None,
     )
     assert info2["probe"] and set(info2["probe"][-1]["ber"]) == {2.0, 4.0}

@@ -236,6 +236,7 @@ def test_run_sweep_es_auto(tmp_path):
     assert state["points"]["3"]["es_auto_mode"] in ("fixed", "probe")
 
 
+@pytest.mark.slow  # probe-on-mesh covered by test_run_sweep_es_auto + dryrun_multichip
 def test_mc_step_probe_mode_on_mesh():
     """es_mode='probe' (two pallas passes + cond fallback + partition)
     composes with the vmapped, mesh-sharded MC step — the production
