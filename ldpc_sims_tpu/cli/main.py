@@ -556,6 +556,27 @@ def cmd_scaling_probe(args) -> None:
     print(f"probe -> {path}")
 
 
+def cmd_code_info(args) -> None:
+    """Analyze a registry code or an imported QC shift table / alist:
+    degrees, QC cycle spectrum (girth evidence), optional DE threshold
+    — the validation tool for user-supplied standard matrices
+    (``codes.qc_construct.load_qc_base``)."""
+    from ldpc_sims_tpu.codes.analyze import code_report
+
+    if args.base_file:
+        from ldpc_sims_tpu.codes.qc_construct import load_qc_base
+
+        code = load_qc_base(args.base_file)
+    elif args.alist:
+        from ldpc_sims_tpu.codes import load_alist
+
+        code = load_alist(args.alist)
+    else:
+        code = get_code(args.code)
+    rep = code_report(code, de=args.de)
+    print(json.dumps(rep, indent=1))
+
+
 def cmd_generate_data(args) -> None:
     """TX/dataset generation to .npz (generate_data.py successor)."""
     from ldpc_sims_tpu.training import make_llr_dataset
@@ -832,6 +853,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--snrdb", type=float, default=5.0)
     sp.add_argument("--num-codewords", type=int, default=4096)
     sp.set_defaults(fn=cmd_generate_data)
+
+    sp = sub.add_parser(
+        "code-info",
+        help="analyze a code: degrees, QC cycle spectrum, DE threshold "
+             "(validates imported standard shift tables / alists)",
+    )
+    sp.add_argument("--code", default="ref6432")
+    sp.add_argument("--base-file", default="",
+                    help="QC shift-table text file (load_qc_base format)")
+    sp.add_argument("--alist", default="", help="alist file to analyze")
+    sp.add_argument("--de", action="store_true",
+                    help="also compute min-sum/sum-product DE thresholds "
+                         "(sampled density evolution; takes ~minutes)")
+    sp.set_defaults(fn=cmd_code_info)
 
     return ap
 

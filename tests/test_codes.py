@@ -172,3 +172,28 @@ def test_big_qc_codes_construct_and_decode():
         bits = bp_decode(llr, c, iterations=8, method="min-sum",
                          backend="roll")
         np.testing.assert_array_equal(np.array(bits), cw)
+
+
+def test_code_analysis_and_cli(capsys, tmp_path):
+    """codes.analyze + `cli code-info`: degree profiles, QC cycle
+    spectrum (the 802.11n bases are 4-cycle-free — girth >= 6), and the
+    import-validation path for user-supplied shift tables."""
+    import json as _json
+
+    from ldpc_sims_tpu.cli.main import main
+    from ldpc_sims_tpu.codes.analyze import code_report, qc_cycle_counts
+
+    code = get_code("wifi648")
+    rep = code_report(code)
+    assert rep["n"] == 648 and rep["edges"] == int((code.H != 0).sum())
+    assert rep["qc"]["cycles_4"] == 0  # Annex R tables are girth >= 6
+    assert rep["qc"]["girth_lower_bound"] == 6
+    # a deliberately bad base: two identical rows -> z 4-cycles per pair
+    bad = qc_cycle_counts([[0, 1], [0, 1]], z=4)
+    assert bad["cycles_4"] == 4 and bad["girth_lower_bound"] == 4
+    # CLI on a shift-table file (the standard-matrix import path)
+    p = tmp_path / "tbl.txt"
+    p.write_text("4\n0 1 -1 0\n2 -1 3 0\n")
+    main(["code-info", "--base-file", str(p)])
+    out = _json.loads(capsys.readouterr().out)
+    assert out["n"] == 16 and "cycles_4" in out["qc"]
