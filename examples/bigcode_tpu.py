@@ -22,6 +22,7 @@ Run:  python examples/bigcode_tpu.py        (TPU; ~10 min)
 Env:  BIG_CODES, BIG_BATCH (16384), BIG_PIPE (16), BIG_SNRS.
 """
 
+import functools
 import json
 import os
 import sys
@@ -118,7 +119,7 @@ def main():
 
         # paired-noise BER spot check: layered-10 must track flooding-20
         # near the waterfall (same keys per point)
-        @jax.jit
+        @functools.partial(jax.jit, static_argnames=("iters", "sched"))
         def errs(key, snr_db, iters, sched):
             snr = 10.0 ** (snr_db / 10.0)
             sigma = jax.lax.rsqrt(snr)
