@@ -422,7 +422,7 @@ def main() -> None:
                 ("es-freeze-layered", 2.5,
                  dict(es_mode="freeze", es_check_every=2)),
             ]
-            for snr in (2.5, 3.5):
+            for snr in (2.5, 3.0, 3.5):
                 for kstr in ("5", "6"):
                     if kstr in reg:
                         configs.append((
