@@ -42,15 +42,16 @@ PRESETS: dict[str, dict] = {
                    max_info_bits=2e6),
     ),
     # 2: 802.11n (648,324), Eb/N0 sweep 0-6 dB, 20-iter sum-product.
-    #    QC default schedule is layered + per-codeword early stop
-    #    (BER-parity-guarded in bench.py; docs/artifacts/
-    #    20260820_es_tuning.json) — flooding remains the reference-
+    #    QC default schedule is layered + per-codeword early stop with
+    #    es_mode='auto' (run_sweep times fixed-vs-probe per SNR point
+    #    and keeps the winner) — flooding remains the reference-
     #    semantics schedule (bp/bp.py:46-47), used by preset 5.
     "wifi648-sweep": dict(
         code="wifi648",
         link=dict(modulation="qpsk", bp_iterations=20,
                   bp_method="sum-product", clamp=None, ofdm_size=32,
-                  bp_schedule="layered", early_stop=True),
+                  bp_schedule="layered", early_stop=True,
+                  es_mode="auto"),
         sweep=dict(snrdb=tuple(np.linspace(0, 6, 13).tolist()),
                    batch_cw=4096, target_frame_errors=100,
                    steps_per_sync=8),
@@ -65,13 +66,14 @@ PRESETS: dict[str, dict] = {
                    steps_per_sync=8),
         msg_qbits_grid=(3, 4, 5),
     ),
-    # 4: OFDM end-to-end 64-subcarrier QAM-16 chain (layered QC default,
-    #    see preset 2 note)
+    # 4: OFDM end-to-end 64-subcarrier QAM-16 chain (layered QC default
+    #    + auto early-stop dispatch, see preset 2 note)
     "ofdm-qam16": dict(
         code="wifi1944",
         link=dict(modulation="qam16", bp_iterations=20,
                   bp_method="min-sum", clamp=None, ofdm_size=64,
-                  bp_schedule="layered", early_stop=True),
+                  bp_schedule="layered", early_stop=True,
+                  es_mode="auto"),
         sweep=dict(snrdb=tuple(np.linspace(4, 12, 9).tolist()),
                    batch_cw=4096, target_frame_errors=100,
                    steps_per_sync=8),
